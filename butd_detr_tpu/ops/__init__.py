@@ -1,0 +1,19 @@
+"""Point-cloud ops: the TPU-native replacement for the reference CUDA extension."""
+
+from butd_detr_tpu.ops.pointcloud import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+    three_interpolate,
+    three_nn,
+)
+
+__all__ = [
+    "ball_query",
+    "furthest_point_sample",
+    "gather_points",
+    "group_points",
+    "three_interpolate",
+    "three_nn",
+]

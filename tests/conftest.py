@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference repo has no test framework (SURVEY.md section 4); we build our
+own pyramid. Multi-device code paths (dp mesh, psum collectives) are
+exercised with XLA's host-platform device virtualization so the suite runs
+anywhere, including machines with no TPU.
+
+Note: in this image a sitecustomize hook preloads jax with a TPU platform
+(JAX_PLATFORMS=axon), so env vars alone are too late — we must flip the
+platform through jax.config before the first backend use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,209 @@
+"""Unit tests for point-cloud ops vs. numpy oracles.
+
+The oracles re-derive the exact CUDA-kernel semantics of the reference
+(sampling_gpu.cu, ball_query_gpu.cu, interpolate_gpu.cu, group_points_gpu.cu)
+as straightforward sequential numpy, so any behavioral drift in the XLA/Pallas
+implementations is caught on CPU without hardware.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from butd_detr_tpu.ops import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+    three_interpolate,
+    three_nn,
+)
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def fps_oracle(xyz, m):
+    """Sequential FPS with the mag<=1e-3 skip and temp init 1e10."""
+    B, N, _ = xyz.shape
+    out = np.zeros((B, m), np.int32)
+    for b in range(B):
+        temp = np.full(N, 1e10, np.float32)
+        mag = (xyz[b] ** 2).sum(-1)
+        valid = mag > 1e-3
+        old = 0
+        out[b, 0] = 0
+        for j in range(1, m):
+            best, besti = -1.0, 0
+            d = ((xyz[b] - xyz[b, old]) ** 2).sum(-1)
+            d2 = np.minimum(d, temp)
+            temp[valid] = d2[valid]
+            for k in range(N):
+                if not valid[k]:
+                    continue
+                if d2[k] > best:
+                    best, besti = d2[k], k
+            old = besti
+            out[b, j] = old
+    return out
+
+
+def ball_query_oracle(radius, nsample, xyz, new_xyz):
+    B, N, _ = xyz.shape
+    m = new_xyz.shape[1]
+    out = np.zeros((B, m, nsample), np.int32)
+    r2 = radius * radius
+    for b in range(B):
+        for j in range(m):
+            cnt = 0
+            for k in range(N):
+                if cnt >= nsample:
+                    break
+                d2 = ((new_xyz[b, j] - xyz[b, k]) ** 2).sum()
+                if d2 < r2:
+                    if cnt == 0:
+                        out[b, j, :] = k
+                    out[b, j, cnt] = k
+                    cnt += 1
+    return out
+
+
+def three_nn_oracle(unknown, known):
+    B, n, _ = unknown.shape
+    dist = np.zeros((B, n, 3), np.float32)
+    idx = np.zeros((B, n, 3), np.int32)
+    for b in range(B):
+        d2 = ((unknown[b][:, None] - known[b][None]) ** 2).sum(-1)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :3]
+        idx[b] = order
+        dist[b] = np.sqrt(np.take_along_axis(d2, order, axis=1))
+    return dist, idx
+
+
+# ------------------------------------------------------------------ tests
+
+
+def test_fps_matches_oracle():
+    rng = np.random.RandomState(0)
+    xyz = rng.randn(2, 128, 3).astype(np.float32) + 2.0  # away from origin
+    got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 16))
+    want = fps_oracle(xyz, 16)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_skips_near_origin_points():
+    rng = np.random.RandomState(1)
+    xyz = rng.randn(1, 64, 3).astype(np.float32) + 3.0
+    xyz[0, 10:20] = 0.0  # zero padding: mag <= 1e-3, must never be sampled
+    got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 32))
+    want = fps_oracle(xyz, 32)
+    np.testing.assert_array_equal(got, want)
+    assert not np.isin(got, np.arange(10, 20)).any()
+
+
+def test_fps_spread():
+    # FPS should cover the cloud better than the first-m prefix.
+    rng = np.random.RandomState(2)
+    xyz = rng.rand(1, 512, 3).astype(np.float32) + 1.0
+    inds = np.asarray(furthest_point_sample(jnp.asarray(xyz), 32))[0]
+    picked = xyz[0, inds]
+    # nearest-sample distance for every point
+    d = np.sqrt(((xyz[0][:, None] - picked[None]) ** 2).sum(-1)).min(1)
+    prefix = xyz[0, :32]
+    d_prefix = np.sqrt(((xyz[0][:, None] - prefix[None]) ** 2).sum(-1)).min(1)
+    assert d.max() < d_prefix.max()
+
+
+@pytest.mark.parametrize("chunk_size", [32, 1024])
+def test_ball_query_matches_oracle(chunk_size):
+    rng = np.random.RandomState(3)
+    xyz = rng.rand(2, 200, 3).astype(np.float32)
+    new_xyz = xyz[:, :40]
+    got = np.asarray(
+        ball_query(0.25, 8, jnp.asarray(xyz), jnp.asarray(new_xyz),
+                   chunk_size=chunk_size)
+    )
+    want = ball_query_oracle(0.25, 8, xyz, new_xyz)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ball_query_empty_rows_are_zero():
+    xyz = np.zeros((1, 16, 3), np.float32)
+    new_xyz = np.full((1, 4, 3), 100.0, np.float32)  # far from all points
+    got = np.asarray(ball_query(0.2, 4, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+    np.testing.assert_array_equal(got, np.zeros((1, 4, 4), np.int32))
+
+
+def test_gather_and_group_points():
+    rng = np.random.RandomState(4)
+    pts = rng.randn(2, 30, 5).astype(np.float32)
+    idx = rng.randint(0, 30, (2, 7)).astype(np.int32)
+    got = np.asarray(gather_points(jnp.asarray(pts), jnp.asarray(idx)))
+    want = np.stack([pts[b][idx[b]] for b in range(2)])
+    np.testing.assert_allclose(got, want)
+
+    gidx = rng.randint(0, 30, (2, 7, 3)).astype(np.int32)
+    got2 = np.asarray(group_points(jnp.asarray(pts), jnp.asarray(gidx)))
+    want2 = np.stack([pts[b][gidx[b]] for b in range(2)])
+    np.testing.assert_allclose(got2, want2)
+
+
+def test_gather_points_grad_is_scatter_add():
+    pts = jnp.ones((1, 5, 2))
+    idx = jnp.asarray([[1, 1, 3]], dtype=jnp.int32)
+
+    def f(p):
+        return gather_points(p, idx).sum()
+
+    g = np.asarray(jax.grad(f)(pts))[0, :, 0]
+    np.testing.assert_allclose(g, [0.0, 2.0, 0.0, 1.0, 0.0])
+
+
+def test_three_nn_matches_oracle():
+    rng = np.random.RandomState(5)
+    unknown = rng.randn(2, 50, 3).astype(np.float32)
+    known = rng.randn(2, 20, 3).astype(np.float32)
+    dist, idx = three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    wdist, widx = three_nn_oracle(unknown, known)
+    np.testing.assert_array_equal(np.asarray(idx), widx)
+    np.testing.assert_allclose(np.asarray(dist), wdist, rtol=1e-5, atol=1e-6)
+
+
+def test_three_interpolate_matches_manual():
+    rng = np.random.RandomState(6)
+    feats = rng.randn(2, 20, 8).astype(np.float32)
+    idx = rng.randint(0, 20, (2, 50, 3)).astype(np.int32)
+    w = rng.rand(2, 50, 3).astype(np.float32)
+    got = np.asarray(
+        three_interpolate(jnp.asarray(feats), jnp.asarray(idx), jnp.asarray(w))
+    )
+    want = np.einsum("bnt,bntc->bnc", w, np.stack(
+        [feats[b][idx[b]] for b in range(2)]
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_three_interpolate_grad_matches_finite_diff():
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(1, 6, 4).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 6, (1, 9, 3)).astype(np.int32))
+    w = jnp.asarray(rng.rand(1, 9, 3).astype(np.float32))
+
+    def f(x, ww):
+        return (three_interpolate(x, idx, ww) ** 2).sum()
+
+    gf, gw = jax.grad(f, argnums=(0, 1))(feats, w)
+    eps = 1e-3
+    # spot-check one coordinate of each grad by central differences
+    for arr, g, coord in [(feats, gf, (0, 2, 1)), (w, gw, (0, 4, 2))]:
+        pert = np.zeros(arr.shape, np.float32)
+        pert[coord] = eps
+        if arr is feats:
+            fp = f(arr + pert, w)
+            fm = f(arr - pert, w)
+        else:
+            fp = f(feats, arr + pert)
+            fm = f(feats, arr - pert)
+        fd = (fp - fm) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g[coord]), fd, rtol=1e-2)
