@@ -1,0 +1,118 @@
+"""Benchmark: grounding training throughput on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "scenes/sec/chip", "vs_baseline": N}
+
+Baseline note: the reference publishes no throughput numbers (BASELINE.md).
+Its training environment was a single A100 (environment.yml:2) at batch 24;
+a DDP step of this model on A100 is ~0.7s in comparable DETR-3D research
+setups, i.e. ~34 scenes/sec. We use A100_SCENES_PER_SEC = 34.0 as the
+assumed baseline and the driver's north star is 3x that (~102). vs_baseline
+here is value / A100_SCENES_PER_SEC.
+
+Modes (env BENCH_MODE): "train" (default) = full jitted train step
+(forward + on-device Hungarian loss + backward + AdamW);
+"fwd" = inference forward only.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+A100_SCENES_PER_SEC = 34.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from butd_detr_tpu.data.synthetic import synthetic_batch
+    from butd_detr_tpu.lang import roberta_base_config
+    from butd_detr_tpu.parallel import make_mesh, shard_batch
+    from butd_detr_tpu.train import (
+        Config,
+        init_state,
+        make_optimizer,
+        make_train_step,
+        shard_train_step,
+    )
+    from butd_detr_tpu.train.step import INPUT_KEYS, build_model
+
+    mode = os.environ.get("BENCH_MODE", "train")
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    N = int(os.environ.get("BENCH_POINTS", "50000"))
+    cfg = Config(
+        use_contrastive_align=True, use_soft_token_loss=True, butd=True,
+        self_attend=True, use_color=True, batch_size=B,
+    )
+    model = build_model(cfg, roberta_config=roberta_base_config())
+    batch = synthetic_batch(
+        batch_size=B, num_points=N, num_feats=3, max_text_len=64,
+        max_num_obj=132, max_det_boxes=132,
+    )
+
+    mesh = make_mesh()
+    optimizer = make_optimizer(cfg, steps_per_epoch=1000)
+    rng = jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    state = init_state(model, optimizer, batch, rng)
+    print(f"# init {time.time()-t0:.0f}s", flush=True)
+
+    if mode == "train":
+        step = shard_train_step(make_train_step(model, cfg, optimizer), mesh)
+        sbatch = shard_batch(mesh, batch)
+        t0 = time.time()
+        state, metrics = step(state, sbatch, rng)
+        jax.block_until_ready(metrics)
+        print(f"# train-step compile {time.time()-t0:.0f}s", flush=True)
+        # steady state: fresh data each step, force metric readback
+        times = []
+        for i in range(5):
+            nb = synthetic_batch(
+                batch_size=B, num_points=N, num_feats=3, max_text_len=64,
+                max_num_obj=132, max_det_boxes=132, seed=i + 1,
+            )
+            sb = shard_batch(mesh, nb)
+            t0 = time.time()
+            state, metrics = step(state, sb, rng)
+            _ = float(metrics["loss"])
+            times.append(time.time() - t0)
+        dt = float(np.median(times))
+        metric = "grounding_train_scenes_per_sec_per_chip"
+    else:
+        fwd = jax.jit(
+            lambda v, i: model.apply(v, i, train=False)
+        )
+        variables = {
+            "params": state.params, "batch_stats": state.batch_stats
+        }
+        inputs = {k: jnp.asarray(batch[k]) for k in INPUT_KEYS}
+        ep = fwd(variables, inputs)
+        jax.block_until_ready(ep)
+        times = []
+        for i in range(5):
+            nb = synthetic_batch(
+                batch_size=B, num_points=N, num_feats=3, seed=i + 1,
+            )
+            inputs = {k: jnp.asarray(nb[k]) for k in INPUT_KEYS}
+            t0 = time.time()
+            ep = fwd(variables, inputs)
+            _ = np.asarray(ep["last_center"])
+            times.append(time.time() - t0)
+        dt = float(np.median(times))
+        metric = "grounding_infer_scenes_per_sec_per_chip"
+
+    value = B / dt
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "scenes/sec",
+        "vs_baseline": round(value / A100_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

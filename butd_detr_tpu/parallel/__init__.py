@@ -1,0 +1,10 @@
+"""Parallelism: mesh construction and sharding helpers."""
+
+from butd_detr_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch"]

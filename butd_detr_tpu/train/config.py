@@ -1,0 +1,139 @@
+"""Training/eval configuration.
+
+Dataclass mirror of the reference's argparse surface
+(main_utils.py:31-119, ~45 flags), with a CLI that accepts the same flag
+names (unknown flags ignored, like the reference's `parse_known_args`).
+"""
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class Config:
+    # Model (main_utils.py:35-46)
+    num_target: int = 256
+    sampling: str = "kps"
+    num_encoder_layers: int = 3
+    num_decoder_layers: int = 6
+    self_position_embedding: str = "loc_learned"
+    self_attend: bool = False
+
+    # Loss (main_utils.py:48-52)
+    query_points_obj_topk: int = 4
+    use_contrastive_align: bool = False
+    use_soft_token_loss: bool = False
+    detect_intermediate: bool = False
+    joint_det: bool = False
+
+    # Data (main_utils.py:55-70)
+    batch_size: int = 8
+    dataset: List[str] = field(default_factory=lambda: ["sr3d"])
+    test_dataset: str = "sr3d"
+    data_root: str = "./"
+    use_height: bool = False
+    use_color: bool = False
+    use_multiview: bool = False
+    butd: bool = False
+    butd_gt: bool = False
+    butd_cls: bool = False
+    augment_det: bool = False
+    num_workers: int = 4
+
+    # Training (main_utils.py:73-92)
+    start_epoch: int = 1
+    max_epoch: int = 400
+    optimizer: str = "adamW"
+    weight_decay: float = 0.0005
+    lr: float = 1e-3
+    lr_backbone: float = 1e-4
+    text_encoder_lr: float = 1e-5
+    lr_scheduler: str = "step"  # step | cosine
+    lr_decay_epochs: List[int] = field(default_factory=lambda: [280, 340])
+    lr_decay_rate: float = 0.1
+    clip_norm: float = 0.1
+    bn_momentum: float = 0.1
+    syncbn: bool = False
+    warmup_epoch: int = -1
+    warmup_multiplier: int = 100
+
+    # IO (main_utils.py:95-101)
+    checkpoint_path: Optional[str] = None
+    log_dir: str = "log"
+    print_freq: int = 10
+    save_freq: int = 10
+    val_freq: int = 5
+
+    # Others (main_utils.py:104-115)
+    ap_iou_thresholds: List[float] = field(default_factory=lambda: [0.25, 0.5])
+    rng_seed: int = 0
+    debug: bool = False
+    eval: bool = False
+    eval_train: bool = False
+    pp_checkpoint: Optional[str] = None
+    reduce_lr: bool = False
+
+    # ---- TPU-framework additions (no reference equivalent)
+    max_text_len: int = 64  # fixed token length (host-side tokenization)
+    num_points: int = 50000
+    max_num_obj: int = 132  # MAX_NUM_OBJ (joint_det_dataset.py:33)
+    max_det_boxes: int = 132
+    dp: Optional[int] = None  # data-parallel mesh size (None = all devices)
+    mp: int = 1
+    use_bf16: bool = False
+    freeze_text_encoder: bool = True
+
+    @property
+    def input_feature_dim(self) -> int:
+        """Extra per-point channels beyond xyz (joint_det_dataset logic)."""
+        d = 0
+        if self.use_color:
+            d += 3
+        if self.use_height:
+            d += 1
+        if self.use_multiview:
+            d += 128
+        return d
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def parse_config(argv: Optional[List[str]] = None) -> Config:
+    """Parse CLI flags with the reference's names; unknown flags ignored."""
+    parser = argparse.ArgumentParser()
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        alt = "--" + f.name.replace("_", "-")
+        names = [name] if name == alt else [name, alt]
+        if f.type in (bool, "bool"):
+            parser.add_argument(*names, action="store_true",
+                                default=f.default)
+        elif f.type in (List[int], "List[int]"):
+            parser.add_argument(*names, type=int, nargs="+",
+                                default=f.default_factory())
+        elif f.type in (List[float], "List[float]"):
+            parser.add_argument(*names, type=float, nargs="+",
+                                default=f.default_factory())
+        elif f.type in (List[str], "List[str]"):
+            parser.add_argument(*names, type=str, nargs="+",
+                                default=f.default_factory())
+        else:
+            base = {int: int, float: float, str: str}.get(f.type, str)
+            if f.type in (Optional[str], "Optional[str]"):
+                base = str
+            if f.type in (Optional[int], "Optional[int]"):
+                base = int
+            default = (
+                f.default if f.default is not dataclasses.MISSING else None
+            )
+            parser.add_argument(*names, type=base, default=default)
+    args, _ = parser.parse_known_args(argv)
+    cfg = Config(**{
+        f.name: getattr(args, f.name) for f in dataclasses.fields(Config)
+    })
+    cfg = dataclasses.replace(cfg, eval=cfg.eval or cfg.eval_train)
+    return cfg
