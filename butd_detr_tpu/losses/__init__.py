@@ -5,6 +5,7 @@ from butd_detr_tpu.losses.boxes import (
     box_volume,
     generalized_box_iou3d,
     matched_giou3d,
+    matched_iou3d,
     pairwise_iou3d,
 )
 from butd_detr_tpu.losses.criterion import (
@@ -37,6 +38,7 @@ __all__ = [
     "loss_contrastive_align",
     "loss_labels_st",
     "matched_giou3d",
+    "matched_iou3d",
     "matcher_cost_matrix",
     "pairwise_iou3d",
     "scipy_match_oracle",

@@ -21,18 +21,32 @@ def box_volume(box):
 
 
 def pairwise_intersection(box_a, box_b):
-    """(N, 6) x (M, 6) corner boxes -> (N, M) intersection volumes."""
-    lo = jnp.maximum(box_a[:, None, :3], box_b[None, :, :3])
-    hi = jnp.minimum(box_a[:, None, 3:], box_b[None, :, 3:])
+    """(..., N, 6) x (..., M, 6) corner boxes -> (..., N, M) intersections."""
+    lo = jnp.maximum(box_a[..., :, None, :3], box_b[..., None, :, :3])
+    hi = jnp.minimum(box_a[..., :, None, 3:], box_b[..., None, :, 3:])
     d = jnp.clip(hi - lo, 0, None)
     return d[..., 0] * d[..., 1] * d[..., 2]
 
 
 def pairwise_iou3d(box_a, box_b):
-    """(N, 6) x (M, 6) -> iou (N, M), union (N, M). losses.py:62-67."""
+    """(..., N, 6) x (..., M, 6) -> iou, union (..., N, M). losses.py:62-67."""
     inter = pairwise_intersection(box_a, box_b)
-    union = box_volume(box_a)[:, None] + box_volume(box_b)[None, :] - inter
+    union = (
+        box_volume(box_a)[..., :, None]
+        + box_volume(box_b)[..., None, :]
+        - inter
+    )
     return inter / union, union
+
+
+def matched_iou3d(boxes1, boxes2):
+    """Elementwise IoU for aligned (..., 6) corner boxes."""
+    lo = jnp.maximum(boxes1[..., :3], boxes2[..., :3])
+    hi = jnp.minimum(boxes1[..., 3:], boxes2[..., 3:])
+    d = jnp.clip(hi - lo, 0, None)
+    inter = d[..., 0] * d[..., 1] * d[..., 2]
+    union = box_volume(boxes1) + box_volume(boxes2) - inter
+    return inter / union
 
 
 def generalized_box_iou3d(boxes1, boxes2):
