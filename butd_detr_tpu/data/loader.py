@@ -1,0 +1,152 @@
+"""Batched, prefetching data loader (host side).
+
+Replaces the reference's torch DataLoader + DistributedSampler
+(main_utils.py:197-233) with a dependency-free loader designed for a TPU
+input pipeline:
+
+  * fixed-shape numpy batches (every sample is already padded);
+  * per-process sharding for multi-host SPMD: each JAX process loads only
+    its slice of the global batch (DistributedSampler equivalent);
+  * worker processes + double-buffered prefetch so augmentation (50k-point
+    numpy work per sample, the reference's hot CPU path per SURVEY.md
+    section 3.2) overlaps with the device step;
+  * deterministic seeding: sample rng = f(base_seed, epoch, index), the
+    TPU analogue of the reference's seed_worker (main_utils.py:199-207).
+"""
+
+import queue
+import threading
+from concurrent.futures import ProcessPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+# keys that stay python lists (strings / scalars for the evaluator)
+_META_KEYS = ("scan_ids", "utterances", "relation", "target_name")
+
+
+def collate(samples: List[Dict]) -> Dict:
+    """Stack a list of fixed-shape sample dicts into a batch dict."""
+    out = {}
+    for k in samples[0]:
+        if k in _META_KEYS:
+            out[k] = [s[k] for s in samples]
+        else:
+            out[k] = np.stack([np.asarray(s[k]) for s in samples])
+    return out
+
+
+_WORKER_DS = None
+
+
+def _worker_init(dataset):
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _worker_get(args):
+    index, seed = args
+    return _WORKER_DS.get(index, np.random.RandomState(seed))
+
+
+class DataLoader:
+    """Iterates seeded, sharded, fixed-shape batches of a map-style dataset
+    (anything with __len__ and get(index, rng))."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_workers: int = 0,
+        prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size  # per-process batch
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+        self._pool = None
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(
+                (self.seed * 1_000_003 + self.epoch) % (2**31)
+            ).shuffle(order)
+        # contiguous shard per process (same count everywhere)
+        per = n // self.process_count
+        return order[self.process_index * per:(self.process_index + 1) * per]
+
+    def _sample_seed(self, index: int) -> int:
+        return int(
+            (self.seed * 2_000_003 + self.epoch * 1_000_003 + index)
+            % (2**31)
+        )
+
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 0:
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                initializer=_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._pool
+
+    def __iter__(self) -> Iterator[Dict]:
+        idx = self._indices()
+        nb = len(self)
+        batches = [
+            idx[i * self.batch_size:(i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+        if self.num_workers == 0:
+            for b in batches:
+                yield collate([
+                    self.dataset.get(
+                        int(i), np.random.RandomState(self._sample_seed(int(i)))
+                    )
+                    for i in b
+                ])
+            return
+
+        pool = self._get_pool()
+        # double-buffer: keep `prefetch` batches in flight
+        pending = queue.Queue()
+
+        def submit(b):
+            args = [(int(i), self._sample_seed(int(i))) for i in b]
+            return [pool.submit(_worker_get, a) for a in args]
+
+        inflight = []
+        bi = 0
+        while bi < len(batches) or inflight:
+            while bi < len(batches) and len(inflight) < self.prefetch:
+                inflight.append(submit(batches[bi]))
+                bi += 1
+            futs = inflight.pop(0)
+            yield collate([f.result() for f in futs])
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None

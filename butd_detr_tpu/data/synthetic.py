@@ -5,7 +5,11 @@ Used by tests, the graft entry points, and the benchmark — shapes mirror
 after fixed-shape collation.
 """
 
-from typing import Dict, Optional
+import json
+import os
+import os.path as osp
+import struct
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -81,3 +85,156 @@ def synthetic_batch(
         "positive_map": pmap,
         "point_instance_label": pil,
     }
+
+
+def _write_ply(path, pc, color=None, label=None):
+    """Binary little-endian PLY with the ScanNet vertex layout."""
+    n = len(pc)
+    props = [("x", "float"), ("y", "float"), ("z", "float")]
+    if color is not None:
+        props += [("red", "uchar"), ("green", "uchar"), ("blue", "uchar")]
+    if label is not None:
+        props += [("label", "ushort")]
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n}"]
+    header += [f"property {t} {p}" for p, t in props]
+    header += ["end_header"]
+    fields = {"float": "<f4", "uchar": "u1", "ushort": "<u2"}
+    dt = np.dtype([(p, fields[t]) for p, t in props])
+    rows = np.zeros(n, dt)
+    rows["x"], rows["y"], rows["z"] = pc[:, 0], pc[:, 1], pc[:, 2]
+    if color is not None:
+        rows["red"], rows["green"], rows["blue"] = (
+            color[:, 0], color[:, 1], color[:, 2]
+        )
+    if label is not None:
+        rows["label"] = label
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        f.write(rows.tobytes())
+
+
+def make_fake_scannet(
+    root: str,
+    scan_ids: Optional[List[str]] = None,
+    points_per_scan: int = 4000,
+    seed: int = 0,
+) -> str:
+    """Write a miniature ScanNet-format dataset (PLY + segs/aggregation
+    JSONs + meta_data + sr3d CSV + span/cls side files) under `root`.
+
+    Scenes contain a few box-shaped 'chair'/'table' objects so grounding
+    annotations are geometrically meaningful. Layout matches what
+    JointGroundingDataset expects (= the reference's data_path layout).
+    """
+    rng = np.random.RandomState(seed)
+    if scan_ids is None:
+        scan_ids = ["scene0000_00", "scene0001_00"]
+    scans_dir = osp.join(root, "scans")
+    meta = osp.join(root, "meta_data")
+    os.makedirs(meta, exist_ok=True)
+
+    # meta: label TSV (raw_category -> id/nyu40id/nyu40class)
+    with open(osp.join(meta, "scannetv2-labels.combined.tsv"), "w") as f:
+        f.write("raw_category\tid\tnyu40id\tnyu40class\n")
+        f.write("chair\t2\t5\tchair\n")
+        f.write("table\t4\t7\ttable\n")
+
+    align = {}
+    idx2sem = {"5": "chair", "7": "table"}
+    inst2sem = {"chair": "chair", "table": "table"}
+    objects_per_scan = {}
+    for sid in scan_ids:
+        sdir = osp.join(scans_dir, sid)
+        os.makedirs(sdir, exist_ok=True)
+        # 3 objects: chair, table, chair
+        names = ["chair", "table", "chair"]
+        centers = rng.rand(3, 3) * 4
+        sizes = rng.rand(3, 3) * 0.6 + 0.4
+        pts, seg_idx, labels = [], [], []
+        per = points_per_scan // 4
+        for o, (c, s) in enumerate(zip(centers, sizes)):
+            p = c + (rng.rand(per, 3) - 0.5) * s
+            pts.append(p)
+            seg_idx += [o] * per
+            labels += [5 if names[o] == "chair" else 7] * per
+        # background
+        nbg = points_per_scan - 3 * per
+        pts.append(rng.rand(nbg, 3) * 6 - 1)
+        seg_idx += [99] * nbg
+        labels += [0] * nbg
+        pc = np.concatenate(pts).astype(np.float32)
+        color = rng.randint(0, 255, (len(pc), 3)).astype(np.uint8)
+        _write_ply(osp.join(sdir, f"{sid}_vh_clean_2.ply"), pc, color=color)
+        _write_ply(
+            osp.join(sdir, f"{sid}_vh_clean_2.labels.ply"),
+            pc, color=None, label=np.asarray(labels),
+        )
+        with open(
+            osp.join(sdir, f"{sid}_vh_clean_2.0.010000.segs.json"), "w"
+        ) as f:
+            json.dump({"segIndices": seg_idx}, f)
+        with open(osp.join(sdir, f"{sid}.aggregation.json"), "w") as f:
+            json.dump({"segGroups": [
+                {"objectId": o, "segments": [o], "label": names[o]}
+                for o in range(3)
+            ]}, f)
+        align[sid] = np.eye(4).reshape(-1).tolist()
+        objects_per_scan[sid] = names
+
+    with open(osp.join(meta, "scans_axis_alignment_matrices.json"), "w") as f:
+        json.dump(align, f)
+    with open(osp.join(meta, "scannet_idx_to_semantic_class.json"), "w") as f:
+        json.dump(idx2sem, f)
+    with open(
+        osp.join(meta, "scannet_instance_class_to_semantic_class.json"), "w"
+    ) as f:
+        json.dump(inst2sem, f)
+    for split in ("train", "val"):
+        with open(osp.join(meta, f"scannetv2_{split}.txt"), "w") as f:
+            f.write("\n".join(scan_ids) + "\n")
+        with open(osp.join(meta, f"sr3d_{split}_scans.txt"), "w") as f:
+            f.write(repr(scan_ids))
+        with open(osp.join(meta, f"nr3d_{split}_scans.txt"), "w") as f:
+            f.write(repr(scan_ids))
+    with open(osp.join(meta, "sr3d_test_scans.txt"), "w") as f:
+        f.write(repr(scan_ids))
+    with open(osp.join(meta, "nr3d_test_scans.txt"), "w") as f:
+        f.write(repr(scan_ids))
+
+    # sr3d annotations + span-predictor output
+    os.makedirs(osp.join(root, "refer_it_3d"), exist_ok=True)
+    utt = "the chair near the table"
+    spans = []
+    with open(osp.join(root, "refer_it_3d", "sr3d.csv"), "w") as f:
+        f.write(
+            "scan_id,target_id,distractor_ids,utterance,instance_type,"
+            "anchors_types,anchor_ids,mentions_target_class\n"
+        )
+        for sid in scan_ids:
+            f.write(
+                f'{sid},0,[2],{utt},chair,[\'table\'],[1],True\n'
+            )
+            span = np.zeros(256)
+            span[2:4] = 0.5  # 'chair' tokens
+            spans.append({"span": span.tolist(), "utterance": utt})
+    with open(osp.join(root, "sr3d_pred_spans.json"), "w") as f:
+        json.dump(spans, f)
+    with open(osp.join(root, "cls_results.json"), "w") as f:
+        json.dump({sid: [1, 3, 1] for sid in scan_ids}, f)
+
+    # GroupFree-style detected boxes
+    for split in ("train", "val"):
+        ddir = osp.join(root, f"group_free_pred_bboxes_{split}")
+        os.makedirs(ddir, exist_ok=True)
+        for sid in scan_ids:
+            boxes = np.stack([
+                np.concatenate([c - s / 2, c + s / 2])
+                for c, s in zip(rng.rand(4, 3) * 4, rng.rand(4, 3) * 0.5 + 0.3)
+            ])
+            np.save(osp.join(ddir, f"{sid}.npy"), {
+                "box": boxes,
+                "class": ["chair", "table", "chair", "table"],
+                "logits": rng.randn(4, 485),
+            })
+    return root

@@ -86,8 +86,13 @@ class HFTokenizer:
     """RobertaTokenizerFast wrapper emitting fixed-shape arrays."""
 
     def __init__(self, name: str = "roberta-base", max_len: int = 64):
+        import os
+
         from transformers import RobertaTokenizerFast
 
+        # fail fast (no network retries) when the hub is unreachable and
+        # no local cache exists; get_tokenizer falls back to SimpleTokenizer
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
         self.tok = RobertaTokenizerFast.from_pretrained(name)
         self.max_len = max_len
         self.vocab_size = self.tok.vocab_size

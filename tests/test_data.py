@@ -1,0 +1,273 @@
+"""Data-pipeline tests on a synthetic mini-ScanNet written to tmp disk:
+PLY reader, Scan loader, positive maps, augmentation, JointGroundingDataset
+sample schema, DataLoader batching/sharding."""
+
+import numpy as np
+import pytest
+
+from butd_detr_tpu.data import (
+    DataLoader,
+    JointGroundingDataset,
+    MAX_NUM_OBJ,
+    Scan,
+    ScannetDatasetConfig,
+    augment_pointcloud,
+    box2points,
+    collate,
+    find_rel,
+    is_view_dep,
+    points2box,
+    read_ply,
+    rot_x,
+    rot_y,
+    rot_z,
+    scannet_classes,
+    token_positive_map,
+    transform_boxes,
+)
+from butd_detr_tpu.data.scan import load_scans_parallel
+from butd_detr_tpu.data.synthetic import make_fake_scannet
+from butd_detr_tpu.lang.tokenizer import SimpleTokenizer
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scannet")
+    return make_fake_scannet(str(root), points_per_scan=2000)
+
+
+@pytest.fixture(scope="module")
+def scans(fake_root):
+    import os.path as osp
+
+    with open(osp.join(fake_root, "meta_data", "scannetv2_train.txt")) as f:
+        ids = [l.strip() for l in f if l.strip()]
+    return load_scans_parallel(
+        ids, osp.join(fake_root, "scans"),
+        osp.join(fake_root, "meta_data"), num_workers=1, keep_points=2048,
+    )
+
+
+def dataset(fake_root, scans, **kw):
+    kw.setdefault("dataset_dict", {"sr3d": 1})
+    kw.setdefault("split", "train")
+    kw.setdefault("tokenizer", SimpleTokenizer(max_len=256))
+    return JointGroundingDataset(
+        data_path=fake_root, scans=scans, **kw
+    )
+
+
+# ---------------- config / vocab ----------------
+
+
+def test_scannet_config_vocab():
+    dc = ScannetDatasetConfig(485)
+    assert dc.num_class == 485
+    assert dc.class2type[325] == "object"
+    assert dc.type2class["chair"] == 1
+    assert len(dc.nyu40ids) == 485
+    dc18 = ScannetDatasetConfig(18)
+    assert dc18.type2class["other furniture"] == 17
+    assert len(scannet_classes(18)) == 18
+
+
+def test_relation_helpers():
+    assert is_view_dep("the chair on the left side")
+    assert not is_view_dep("the chair near the table")
+    assert find_rel("the chair close to the table") == "near"
+    assert find_rel("the box on the left side of the bed") == "on the left of"
+    assert find_rel("no spatial words here") == "none"
+
+
+# ---------------- scan loading ----------------
+
+
+def test_read_ply_roundtrip(fake_root):
+    import os.path as osp
+
+    d = read_ply(osp.join(
+        fake_root, "scans", "scene0000_00", "scene0000_00_vh_clean_2.ply"
+    ))
+    assert d["x"].dtype == np.float32 and len(d["x"]) == 2000
+    assert d["red"].dtype == np.uint8
+
+
+def test_scan_objects_and_bbox(scans):
+    scan = scans["scene0000_00"]
+    assert scan.pc.shape == (2048, 3)
+    assert len(scan.three_d_objects) == 3
+    assert scan.get_object_instance_label(0) == "chair"
+    bbox = scan.get_object_bbox(0)
+    assert (bbox[3:] >= bbox[:3]).all()
+    # object points live inside the bbox
+    pc = scan.get_object_pc(0)
+    assert (pc >= bbox[:3] - 1e-6).all() and (pc <= bbox[3:] + 1e-6).all()
+
+
+# ---------------- augmentation ----------------
+
+
+def test_rotations_orthonormal():
+    rng = np.random.RandomState(0)
+    pc = rng.randn(100, 3)
+    for fn in (rot_x, rot_y, rot_z):
+        out = fn(pc, 37.0)
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=1), np.linalg.norm(pc, axis=1),
+            rtol=1e-6,
+        )
+    # z-rotation by 90 deg maps +x to +y
+    out = rot_z(np.array([[1.0, 0, 0]]), 90.0)
+    np.testing.assert_allclose(out, [[0, 1, 0]], atol=1e-9)
+
+
+def test_box_points_roundtrip():
+    rng = np.random.RandomState(1)
+    boxes = np.concatenate(
+        [rng.randn(10, 3), rng.rand(10, 3) + 0.1], axis=1
+    )
+    np.testing.assert_allclose(points2box(box2points(boxes)), boxes,
+                               atol=1e-9)
+
+
+def test_transform_boxes_matches_pointcloud_transform():
+    rng = np.random.RandomState(2)
+    boxes = np.concatenate(
+        [rng.randn(5, 3), rng.rand(5, 3) + 0.3], axis=1
+    )
+    pc = box2points(boxes).reshape(-1, 3)
+    # rotate=False: no flips. (With flips on, the reference applies flips
+    # BEFORE rotations for points but AFTER rotations for boxes
+    # (joint_det_dataset.py:363-383 vs :595-605) — a quirk we reproduce, so
+    # the two paths only agree in the flip-free case.)
+    pc2, _, aug = augment_pointcloud(pc, None, rotate=False,
+                                     rng=np.random.RandomState(3))
+    got = transform_boxes(boxes, aug)
+    # the box transform skips per-point noise; centers close, sizes close
+    want = points2box(pc2.reshape(-1, 8, 3))
+    np.testing.assert_allclose(got[:, :3], want[:, :3], atol=6e-3)
+    np.testing.assert_allclose(got[:, 3:], want[:, 3:], atol=2e-2)
+
+
+def test_augment_deterministic_given_seed():
+    pc = np.random.RandomState(0).randn(50, 3)
+    a1 = augment_pointcloud(pc, None, True, np.random.RandomState(7))
+    a2 = augment_pointcloud(pc, None, True, np.random.RandomState(7))
+    np.testing.assert_array_equal(a1[0], a2[0])
+
+
+# ---------------- positive maps ----------------
+
+
+def test_token_positive_map_simple_tokenizer():
+    tok = SimpleTokenizer(max_len=64)
+    spans, pmap = token_positive_map(
+        tok, "the chair near the table", ["chair", "table"], max_num_obj=8
+    )
+    assert pmap.shape == (8, 256)
+    # both objects got a normalized span
+    assert pmap[0].sum() == pytest.approx(1.0)
+    assert pmap[1].sum() == pytest.approx(1.0)
+    assert pmap[2].sum() == 0.0
+    # the two spans differ
+    assert not np.array_equal(pmap[0], pmap[1])
+
+
+def test_token_positive_map_multiword_and_fallbacks():
+    tok = SimpleTokenizer(max_len=64)
+    _, pmap = token_positive_map(
+        tok, "a shower curtain . a toilet", ["shower curtain", "toilet"],
+        max_num_obj=4,
+    )
+    assert pmap[0].sum() == pytest.approx(1.0)
+    # multiword span covers 2 tokens -> each weighted 0.5
+    assert pmap[0].max() == pytest.approx(0.5)
+
+
+# ---------------- dataset / loader ----------------
+
+
+def test_sr3d_dataset_sample_schema(fake_root, scans):
+    ds = dataset(fake_root, scans, butd=True, augment_det=True)
+    assert len(ds) == 2
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["point_clouds"].shape == (2048, 3)
+    assert s["center_label"].shape == (MAX_NUM_OBJ, 3)
+    assert s["positive_map"].shape == (MAX_NUM_OBJ, 256)
+    assert s["box_label_mask"].sum() == 1  # root only
+    assert s["positive_map"][0].sum() == pytest.approx(1.0)
+    assert s["point_instance_label"].max() == 0  # target instance marked
+    assert s["det_bbox_label_mask"].sum() == 4
+    assert s["is_hard"] is False and s["is_unique"] is False
+    assert s["target_name"] == "chair"
+    assert s["utterances"].endswith(" . not mentioned")
+    # GT box covers the object's points (pre-jitter tolerance)
+    gt_c, gt_s = s["center_label"][0], s["size_gts"][0]
+    assert (gt_s > 0).all() and (gt_s < 2).all()
+
+
+def test_use_color_and_height(fake_root, scans):
+    ds = dataset(fake_root, scans, use_color=True, use_height=True)
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["point_clouds"].shape == (2048, 7)
+    # colors are mean-centered: bounded
+    assert np.abs(s["point_clouds"][:, 3:6]).max() < 1.5
+
+
+def test_butd_cls_uses_gt_boxes(fake_root, scans):
+    ds = dataset(fake_root, scans, butd_cls=True)
+    s = ds.get(0, np.random.RandomState(0))
+    np.testing.assert_array_equal(s["det_boxes"], s["all_bboxes"])
+    assert s["det_class_ids"][:3].tolist() == [1, 3, 1]
+
+
+def test_scannet_detection_prompts(fake_root, scans):
+    ds = dataset(
+        fake_root, scans, dataset_dict={"sr3d": 1, "scannet": 2},
+    )
+    # 2 sr3d + 2 scans x 2 reps
+    assert len(ds) == 6
+    scannet_idx = next(
+        i for i, a in enumerate(ds.annos) if a["dataset"] == "scannet"
+    )
+    s = ds.get(scannet_idx, np.random.RandomState(1))
+    # all three objects are 18-class targets (chair/table) OR random utt
+    assert s["box_label_mask"].sum() >= 1
+    assert s["positive_map"][:3].sum() > 0
+
+
+def test_val_split_no_augment(fake_root, scans):
+    ds = dataset(fake_root, scans, split="val", test_dataset="sr3d")
+    s1 = ds.get(0, np.random.RandomState(0))
+    s2 = ds.get(0, np.random.RandomState(99))
+    np.testing.assert_array_equal(s1["point_clouds"], s2["point_clouds"])
+
+
+def test_dataloader_batching_and_sharding(fake_root, scans):
+    ds = dataset(fake_root, scans)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, seed=3)
+    batches = list(dl)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["point_clouds"].shape == (2, 2048, 3)
+    assert b["text_ids"].shape[0] == 2
+    assert isinstance(b["utterances"], list)
+    # sharding: two processes each see half the data
+    d0 = DataLoader(ds, batch_size=1, shuffle=False, process_index=0,
+                    process_count=2)
+    d1 = DataLoader(ds, batch_size=1, shuffle=False, process_index=1,
+                    process_count=2)
+    assert len(d0) == 1 and len(d1) == 1
+    b0, b1 = next(iter(d0)), next(iter(d1))
+    assert b0["scan_ids"] != b1["scan_ids"]
+
+
+def test_dataloader_deterministic_same_epoch(fake_root, scans):
+    ds = dataset(fake_root, scans)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, seed=5)
+    b1 = next(iter(dl))
+    b2 = next(iter(dl))
+    np.testing.assert_array_equal(b1["point_clouds"], b2["point_clouds"])
+    dl.set_epoch(1)
+    b3 = next(iter(dl))
+    assert not np.array_equal(b1["point_clouds"], b3["point_clouds"])
