@@ -26,9 +26,31 @@ SUBSAMPLE_SEED = 1184
 
 
 def read_ply(path: str) -> Dict[str, np.ndarray]:
-    """Minimal PLY reader: returns {property: column} for the first
-    (vertex) element. Supports binary_little_endian and ascii formats —
-    all ScanNet `_vh_clean_2` files are binary little-endian."""
+    """PLY vertex reader: returns {property: column} for the first
+    (vertex) element. Uses the native C++ parser (csrc/butd_native.cpp)
+    when built, falling back to the numpy structured-dtype path below.
+    Supports binary_little_endian and ascii formats — all ScanNet
+    `_vh_clean_2` files are binary little-endian."""
+    try:
+        from butd_detr_tpu.native import ply_read_vertices_native
+
+        native = ply_read_vertices_native(path)
+    except Exception:
+        native = None
+    if native is not None:
+        xyz, rgb, label = native
+        out = {"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2]}
+        if rgb.any():
+            out.update(
+                {"red": rgb[:, 0], "green": rgb[:, 1], "blue": rgb[:, 2]}
+            )
+        if (label >= 0).any():
+            out["label"] = label
+        return out
+    return _read_ply_py(path)
+
+
+def _read_ply_py(path: str) -> Dict[str, np.ndarray]:
     _TYPES = {
         "char": "i1", "uchar": "u1", "int8": "i1", "uint8": "u1",
         "short": "i2", "ushort": "u2", "int16": "i2", "uint16": "u2",

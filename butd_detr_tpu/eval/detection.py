@@ -17,6 +17,7 @@ import numpy as np
 
 from butd_detr_tpu.eval.box_util import (
     aabb_iou,
+    box3d_vol,
     corners_to_aabb,
     flip_axis_to_camera,
     get_3d_box_batch,
@@ -215,7 +216,13 @@ def eval_det_cls(
     nd = len(image_ids)
     tp = np.zeros(nd)
     fp = np.zeros(nd)
-    if nd > 0:
+    native = _voc_match_native_path(
+        pred, gt, class_recs, image_ids, confidence, BB, ovthresh,
+        get_iou_func,
+    )
+    if native is not None:
+        tp, fp = native
+    elif nd > 0:
         order = np.argsort(-np.asarray(confidence))
         for rank, d in enumerate(order):
             R = class_recs[image_ids[d]]
@@ -235,6 +242,57 @@ def eval_det_cls(
     rec = tp / float(npos + 1e-8)
     prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
     return rec, prec, voc_ap(rec, prec, use_07_metric)
+
+
+def _voc_match_native_path(
+    pred, gt, class_recs, image_ids, confidence, BB, ovthresh, get_iou_func
+):
+    """Use the C++ matcher (csrc/butd_native.cpp voc_match) when the IoU
+    function is the default AABB-compatible one and every box is
+    axis-aligned (always true for BUTD-DETR, heading==0). Returns (tp, fp)
+    in confidence order mapped back to detection order, or None."""
+    if get_iou_func is not get_iou_obb or len(image_ids) == 0:
+        return None
+    try:
+        from butd_detr_tpu.native import voc_match_native
+    except Exception:
+        return None
+    corners = np.asarray(BB, np.float64)
+    if corners.ndim != 3 or corners.shape[1:] != (8, 3):
+        return None
+    det_aabb = corners_to_aabb(corners)
+    if not np.allclose(
+        np.prod(det_aabb[:, 3:] - det_aabb[:, :3], -1),
+        box3d_vol(corners), rtol=1e-4,
+    ):
+        return None
+    img_ids = sorted({*image_ids, *gt.keys()}, key=repr)
+    img_index = {im: i for i, im in enumerate(img_ids)}
+    gt_boxes, gt_img = [], []
+    for im, boxes in gt.items():
+        for b in boxes:
+            b = np.asarray(b, np.float64)
+            if b.shape != (8, 3):
+                return None
+            a = corners_to_aabb(b)
+            if not np.isclose(
+                np.prod(a[3:] - a[:3]), box3d_vol(b), rtol=1e-4
+            ):
+                return None
+            gt_boxes.append(a)
+            gt_img.append(img_index[im])
+    order = np.argsort(-np.asarray(confidence))
+    det_img = np.asarray([img_index[image_ids[d]] for d in order], np.int32)
+    res = voc_match_native(
+        det_aabb[order],
+        det_img,
+        np.asarray(gt_boxes, np.float32).reshape(-1, 6),
+        np.asarray(gt_img, np.int32),
+        ovthresh,
+    )
+    if res is None:
+        return None
+    return res[0].astype(np.float64), res[1].astype(np.float64)
 
 
 def _eval_cls_worker(args):

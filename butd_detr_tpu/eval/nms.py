@@ -21,6 +21,16 @@ def _greedy_nms(
     old_type: bool = False,
     classes: Optional[np.ndarray] = None,
 ):
+    try:
+        from butd_detr_tpu.native import greedy_nms_native
+
+        keep = greedy_nms_native(
+            mins, maxs, scores, overlap_threshold, old_type, classes
+        )
+        if keep is not None:
+            return keep
+    except Exception:
+        pass
     area = np.prod(maxs - mins, axis=-1)
     order = np.argsort(scores)  # ascending; pop from the end
     pick = []

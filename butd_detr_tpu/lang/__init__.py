@@ -12,6 +12,12 @@ from butd_detr_tpu.lang.span_predictor import (
     scores_to_pred_spans,
     span_bce_loss,
 )
+from butd_detr_tpu.lang.span_trainer import (
+    SpanTextDataset,
+    SpanTrainer,
+    batch_iter,
+    run_span_training,
+)
 from butd_detr_tpu.lang.tokenizer import (
     HFTokenizer,
     SimpleTokenizer,
@@ -25,7 +31,11 @@ __all__ = [
     "RobertaModel",
     "SimpleTokenizer",
     "SpanPredictor",
+    "SpanTextDataset",
+    "SpanTrainer",
     "Tokenized",
+    "batch_iter",
+    "run_span_training",
     "convert_hf_roberta_state_dict",
     "get_tokenizer",
     "roberta_base_config",

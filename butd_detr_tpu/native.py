@@ -1,0 +1,151 @@
+"""ctypes bindings for the native host runtime (csrc/butd_native.cpp).
+
+Auto-builds `csrc/libbutd_native.so` with make on first use (g++ is part
+of the supported toolchain); every entry point has a pure-python/numpy
+fallback, so the package works without a compiler — the native path is a
+host-CPU accelerator for the data loader and eval cold paths, mirroring
+the role of the reference's compiled extension (pointnet2/setup.py) in its
+stack.
+"""
+
+import ctypes
+import functools
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_CSRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc"
+)
+_SO = os.path.join(_CSRC, "libbutd_native.so")
+
+
+@functools.lru_cache()
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None on failure."""
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(
+                ["make", "-s"], cwd=_CSRC, check=True,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    c_float_p = ctypes.POINTER(ctypes.c_float)
+    c_u8_p = ctypes.POINTER(ctypes.c_uint8)
+    c_i32_p = ctypes.POINTER(ctypes.c_int32)
+
+    lib.ply_vertex_count.restype = ctypes.c_long
+    lib.ply_vertex_count.argtypes = [ctypes.c_char_p]
+    lib.ply_read_vertices.restype = ctypes.c_long
+    lib.ply_read_vertices.argtypes = [
+        ctypes.c_char_p, c_float_p, c_u8_p, c_i32_p
+    ]
+    lib.greedy_nms.restype = ctypes.c_long
+    lib.greedy_nms.argtypes = [
+        c_float_p, c_float_p, c_float_p, c_i32_p,
+        ctypes.c_long, ctypes.c_int, ctypes.c_float, ctypes.c_int, c_i32_p,
+    ]
+    lib.voc_match.restype = ctypes.c_long
+    lib.voc_match.argtypes = [
+        c_float_p, c_i32_p, ctypes.c_long,
+        c_float_p, c_i32_p, ctypes.c_long,
+        ctypes.c_float, c_u8_p, c_u8_p,
+    ]
+    lib.points_in_boxes.restype = None
+    lib.points_in_boxes.argtypes = [
+        c_float_p, ctypes.c_long, c_float_p, ctypes.c_long, c_i32_p
+    ]
+    return lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def ply_read_vertices_native(path: str):
+    """Returns (xyz (n,3) f32, rgb (n,3) u8, label (n,) i32) or None if the
+    native lib is unavailable / format unsupported."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n = lib.ply_vertex_count(path.encode())
+    if n <= 0:
+        return None
+    xyz = np.empty((n, 3), np.float32)
+    rgb = np.zeros((n, 3), np.uint8)
+    label = np.full((n,), -1, np.int32)
+    got = lib.ply_read_vertices(
+        path.encode(), _ptr(xyz, ctypes.c_float), _ptr(rgb, ctypes.c_uint8),
+        _ptr(label, ctypes.c_int32),
+    )
+    if got != n:
+        return None
+    return xyz, rgb, label
+
+
+def greedy_nms_native(mins, maxs, scores, thresh, old_type=False,
+                      classes=None):
+    """Native greedy NMS; returns keep indices (list) or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    mins = np.ascontiguousarray(mins, np.float32)
+    maxs = np.ascontiguousarray(maxs, np.float32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    n, d = mins.shape
+    keep = np.empty(n, np.int32)
+    cls_ptr = None
+    if classes is not None:
+        classes = np.ascontiguousarray(classes, np.int32)
+        cls_ptr = _ptr(classes, ctypes.c_int32)
+    k = lib.greedy_nms(
+        _ptr(mins, ctypes.c_float), _ptr(maxs, ctypes.c_float),
+        _ptr(scores, ctypes.c_float), cls_ptr,
+        n, d, float(thresh), int(old_type), _ptr(keep, ctypes.c_int32),
+    )
+    return keep[:k].tolist()
+
+
+def voc_match_native(det_boxes, det_img, gt_boxes, gt_img, ovthresh):
+    """Native VOC greedy matcher; returns (tp, fp) uint8 arrays or None.
+    Detections must already be confidence-sorted desc."""
+    lib = load_native()
+    if lib is None:
+        return None
+    det_boxes = np.ascontiguousarray(det_boxes, np.float32)
+    det_img = np.ascontiguousarray(det_img, np.int32)
+    gt_boxes = np.ascontiguousarray(gt_boxes, np.float32)
+    gt_img = np.ascontiguousarray(gt_img, np.int32)
+    nd, ng = len(det_boxes), len(gt_boxes)
+    tp = np.zeros(nd, np.uint8)
+    fp = np.zeros(nd, np.uint8)
+    lib.voc_match(
+        _ptr(det_boxes, ctypes.c_float), _ptr(det_img, ctypes.c_int32), nd,
+        _ptr(gt_boxes, ctypes.c_float), _ptr(gt_img, ctypes.c_int32), ng,
+        float(ovthresh), _ptr(tp, ctypes.c_uint8), _ptr(fp, ctypes.c_uint8),
+    )
+    return tp, fp
+
+
+def points_in_boxes_native(points, boxes):
+    """Counts of points inside each AABB; (k,) i32 or None."""
+    lib = load_native()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, np.float32)
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    counts = np.empty(len(boxes), np.int32)
+    lib.points_in_boxes(
+        _ptr(points, ctypes.c_float), len(points),
+        _ptr(boxes, ctypes.c_float), len(boxes),
+        _ptr(counts, ctypes.c_int32),
+    )
+    return counts

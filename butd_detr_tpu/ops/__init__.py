@@ -1,8 +1,10 @@
 """Point-cloud ops: the TPU-native replacement for the reference CUDA extension."""
 
+from butd_detr_tpu.ops.pallas_fps import furthest_point_sample_pallas
 from butd_detr_tpu.ops.pointcloud import (
     ball_query,
     furthest_point_sample,
+    furthest_point_sample_xla,
     gather_points,
     group_points,
     three_interpolate,
@@ -12,6 +14,8 @@ from butd_detr_tpu.ops.pointcloud import (
 __all__ = [
     "ball_query",
     "furthest_point_sample",
+    "furthest_point_sample_pallas",
+    "furthest_point_sample_xla",
     "gather_points",
     "group_points",
     "three_interpolate",

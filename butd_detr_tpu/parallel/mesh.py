@@ -30,8 +30,8 @@ def make_mesh(
     if dp is None:
         assert n % mp == 0, f"{n} devices not divisible by mp={mp}"
         dp = n // mp
-    assert dp * mp == n, f"dp({dp}) * mp({mp}) != devices({n})"
-    arr = np.asarray(devices).reshape(dp, mp)
+    assert dp * mp <= n, f"dp({dp}) * mp({mp}) > devices({n})"
+    arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, axis_names=("dp", "mp"))
 
 

@@ -6,6 +6,7 @@ from butd_detr_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from butd_detr_tpu.train.config import Config, parse_config
+from butd_detr_tpu.train.harness import TrainTester, detection_token_map
 from butd_detr_tpu.train.optimizer import (
     make_optimizer,
     make_schedule,
@@ -31,7 +32,9 @@ __all__ = [
     "METRIC_KEYS",
     "TARGET_KEYS",
     "TrainState",
+    "TrainTester",
     "build_model",
+    "detection_token_map",
     "criterion_config",
     "init_state",
     "latest_checkpoint",

@@ -1,0 +1,364 @@
+"""Train/eval harness: dataset construction, epoch loops, evaluation.
+
+Rebuild of reference `main_utils.py:286-494` (BaseTrainTester) and
+`train_dist_mod.py:31-278` (TrainTester). Differences (TPU-first):
+
+  * ONE jitted train step (forward + on-device Hungarian loss + grads +
+    clip + AdamW) over the dp mesh replaces forward/backward/DDP/step;
+  * evaluation end_points feed the vectorized GroundingEvaluator kernels
+    (all prefixes at once) instead of per-prefix python loops;
+  * detection eval projects soft-token scores to 19 classes with a
+    token map computed FROM the tokenizer (the reference hardcodes the
+    wordidx/tokenidx tables for RoBERTa, train_dist_mod.py:206-218);
+  * checkpointing via orbax (train/checkpoint.py).
+"""
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from butd_detr_tpu.data import DataLoader, JointGroundingDataset
+from butd_detr_tpu.data.positive_map import normalize_caption
+from butd_detr_tpu.data.scannet_config import ScannetDatasetConfig
+from butd_detr_tpu.eval import (
+    APCalculator,
+    GroundingEvaluator,
+    GroundingGTEvaluator,
+    default_parse_config,
+    parse_groundtruths,
+    parse_predictions,
+)
+from butd_detr_tpu.parallel import make_mesh, shard_batch
+from butd_detr_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from butd_detr_tpu.train.config import Config
+from butd_detr_tpu.train.optimizer import make_optimizer
+from butd_detr_tpu.train.step import (
+    INPUT_KEYS,
+    TARGET_KEYS,
+    build_model,
+    init_state,
+    make_eval_step,
+    make_train_step,
+    shard_eval_step,
+    shard_train_step,
+)
+from butd_detr_tpu.utils import setup_logger
+
+DET18_PROMPT_NAMES = (
+    "cabinet", "bed", "chair", "couch", "table", "door",
+    "window", "bookshelf", "picture", "counter", "desk", "curtain",
+    "refrigerator", "shower curtain", "toilet", "sink", "bathtub",
+    "other furniture",
+)
+
+
+def detection_token_map(tokenizer) -> Tuple[np.ndarray, np.ndarray]:
+    """(wordidx, tokenidx): which token positions of the fixed 18-class
+    detection prompt vote for which class (18 = the classes, plus bin 0
+    for no-object). Computed from the tokenizer's char_to_token — for HF
+    RoBERTa this reproduces the reference's hardcoded tables
+    (train_dist_mod.py:206-218)."""
+    prompt = " . ".join(DET18_PROMPT_NAMES) + " . not mentioned"
+    caption = normalize_caption(prompt)
+    tok = tokenizer([caption], max_len=256)
+    wordidx, tokenidx = [], []
+    cursor = 0
+    for w, name in enumerate(list(DET18_PROMPT_NAMES) + ["not mentioned"]):
+        start = caption.index(name, cursor)
+        cursor = start + len(name)
+        toks = set()
+        for ci in range(start, start + len(name)):
+            t = tok.char_to_token(0, ci)
+            if t is not None:
+                toks.add(t)
+        for t in sorted(toks):
+            wordidx.append(0 if name == "not mentioned" else w + 1)
+            tokenidx.append(t)
+    # class ids: reference maps prompt word w -> class w (cabinet=0 ...),
+    # with 'not mentioned' -> 0-bin handled by wordidx 0 there; we emit
+    # (class+1) and shift so callers get exact 19-way projection
+    return np.asarray(wordidx), np.asarray(tokenidx)
+
+
+class TrainTester:
+    """End-to-end harness. `main()` mirrors BaseTrainTester.main
+    (main_utils.py:286-359)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        self.logger = setup_logger(
+            output=cfg.log_dir, distributed_rank=jax.process_index()
+        )
+        with open(os.path.join(cfg.log_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+    # ---------------- datasets / loaders ----------------
+
+    def get_datasets(self):
+        """train_dist_mod.py:38-74."""
+        cfg = self.cfg
+        dataset_dict = {d: 1 for d in cfg.dataset}
+        if cfg.joint_det:
+            dataset_dict["scannet"] = 10
+        self.logger.info(f"Loading datasets: {sorted(dataset_dict)}")
+        common = dict(
+            test_dataset=cfg.test_dataset,
+            data_path=cfg.data_root,
+            use_color=cfg.use_color,
+            use_height=cfg.use_height,
+            use_multiview=cfg.use_multiview,
+            detect_intermediate=cfg.detect_intermediate,
+            butd=cfg.butd,
+            butd_gt=cfg.butd_gt,
+            butd_cls=cfg.butd_cls,
+            overfit=cfg.debug,
+            max_text_len=cfg.max_text_len,
+        )
+        train_dataset = JointGroundingDataset(
+            dataset_dict=dataset_dict,
+            split="train" if not cfg.debug else "val",
+            augment_det=cfg.augment_det,
+            **common,
+        )
+        test_dataset = JointGroundingDataset(
+            dataset_dict=dataset_dict,
+            split="val" if not cfg.eval_train else "train",
+            scans=train_dataset.scans if cfg.debug or cfg.eval_train
+            else None,
+            tokenizer=train_dataset.tokenizer,
+            **common,
+        )
+        return train_dataset, test_dataset
+
+    def get_loaders(self):
+        cfg = self.cfg
+        train_dataset, test_dataset = self.get_datasets()
+        kw = dict(
+            batch_size=cfg.batch_size,
+            seed=cfg.rng_seed,
+            num_workers=cfg.num_workers,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        train_loader = DataLoader(train_dataset, shuffle=True, **kw)
+        test_loader = DataLoader(
+            test_dataset, shuffle=False, drop_last=False, **kw
+        )
+        return train_loader, test_loader
+
+    # ---------------- model / steps ----------------
+
+    def get_model(self):
+        roberta = self._roberta_config()
+        return build_model(self.cfg, roberta_config=roberta)
+
+    def _roberta_config(self):
+        from butd_detr_tpu.lang import roberta_base_config
+
+        return roberta_base_config()
+
+    def prefixes(self) -> List[str]:
+        cfg = self.cfg
+        if cfg.num_decoder_layers > 0:
+            return (
+                ["last_", "proposal_"]
+                + [f"{i}head_" for i in range(cfg.num_decoder_layers - 1)]
+            )
+        return ["proposal_"]
+
+    # ---------------- main ----------------
+
+    def main(self):
+        cfg = self.cfg
+        train_loader, test_loader = self.get_loaders()
+        self.logger.info(
+            f"lengths: train {len(train_loader.dataset)}, "
+            f"test {len(test_loader.dataset)}"
+        )
+        mesh = make_mesh(dp=cfg.dp, mp=cfg.mp)
+        model = self.get_model()
+        optimizer = make_optimizer(cfg, steps_per_epoch=len(train_loader))
+
+        rng = jax.random.PRNGKey(cfg.rng_seed)
+        sample = next(iter(test_loader if cfg.eval else train_loader))
+        t0 = time.time()
+        state = init_state(model, optimizer, sample, rng)
+        self.logger.info(f"init_state: {time.time() - t0:.1f}s")
+
+        train_step = shard_train_step(
+            make_train_step(model, cfg, optimizer), mesh
+        )
+        eval_step = shard_eval_step(
+            make_eval_step(model, cfg, with_loss=not cfg.butd_cls), mesh
+        )
+
+        start_epoch = cfg.start_epoch
+        ckpt = cfg.checkpoint_path or (
+            latest_checkpoint(cfg.log_dir) if not cfg.eval else None
+        )
+        if ckpt:
+            state, start_epoch = load_checkpoint(
+                ckpt, state, reduce_lr=cfg.reduce_lr
+            )
+            self.logger.info(f"restored {ckpt}; start_epoch={start_epoch}")
+
+        if cfg.eval:
+            self.evaluate_one_epoch(start_epoch, test_loader, eval_step,
+                                    state, mesh)
+            return state
+
+        for epoch in range(start_epoch, cfg.max_epoch + 1):
+            train_loader.set_epoch(epoch)
+            tic = time.time()
+            state = self.train_one_epoch(
+                epoch, train_loader, train_step, state, mesh, rng
+            )
+            self.logger.info(
+                f"epoch {epoch}, total time {time.time() - tic:.2f}"
+            )
+            if epoch % cfg.val_freq == 0:
+                if jax.process_index() == 0:
+                    save_checkpoint(cfg.log_dir, epoch, state)
+                self.evaluate_one_epoch(
+                    epoch, test_loader, eval_step, state, mesh
+                )
+
+        if jax.process_index() == 0:
+            path = save_checkpoint(cfg.log_dir, cfg.max_epoch, state)
+            self.logger.info(f"saved {path}")
+        self.evaluate_one_epoch(
+            cfg.max_epoch, test_loader, eval_step, state, mesh
+        )
+        return state
+
+    # ---------------- loops ----------------
+
+    def train_one_epoch(self, epoch, train_loader, train_step, state,
+                        mesh, rng):
+        """main_utils.py:401-456, as a jitted-step loop."""
+        cfg = self.cfg
+        stat: Dict[str, float] = {}
+        count = 0
+        for batch_idx, batch in enumerate(train_loader):
+            sbatch = shard_batch(
+                mesh, {k: batch[k] for k in (*INPUT_KEYS, *TARGET_KEYS)}
+            )
+            state, metrics = train_step(state, sbatch, rng)
+            count += 1
+            if (batch_idx + 1) % cfg.print_freq == 0:
+                metrics = jax.device_get(metrics)  # sync once per window
+                for k, v in metrics.items():
+                    stat[k] = stat.get(k, 0.0) + float(v)
+                self.logger.info(
+                    f"Train: [{epoch}][{batch_idx + 1}/{len(train_loader)}] "
+                    + " ".join(
+                        f"{k} {v:.4f}" for k, v in sorted(stat.items())
+                    )
+                )
+                stat = {}
+        return state
+
+    def _eval_batches(self, test_loader, eval_step, state, mesh):
+        for batch in test_loader:
+            sbatch = shard_batch(
+                mesh,
+                {
+                    k: batch[k]
+                    for k in (*INPUT_KEYS, *TARGET_KEYS)
+                    if k in batch
+                },
+            )
+            end_points = eval_step(state, sbatch)
+            # evaluator extras stay on host
+            for k in (
+                "all_bboxes", "all_bbox_label_mask", "is_view_dep",
+                "is_hard", "is_unique", "sem_cls_label", "box_label_mask",
+                "center_label", "size_gts", "positive_map", "point_clouds",
+            ):
+                if k in batch:
+                    end_points[k] = batch[k]
+            yield batch, end_points
+
+    def evaluate_one_epoch(self, epoch, test_loader, eval_step, state,
+                           mesh):
+        """Grounding eval (train_dist_mod.py:112-159) or detection eval
+        when testing on scannet (:161-278)."""
+        cfg = self.cfg
+        if cfg.test_dataset == "scannet":
+            return self.evaluate_one_epoch_det(
+                epoch, test_loader, eval_step, state, mesh
+            )
+        prefixes = self.prefixes()
+        if cfg.butd_cls or cfg.butd_gt:
+            evaluator = GroundingGTEvaluator(
+                prefixes=prefixes, logger=self.logger,
+                with_contrast=cfg.use_contrastive_align,
+            )
+        else:
+            evaluator = GroundingEvaluator(
+                only_root=True, thresholds=(0.25, 0.5), topks=(1, 5, 10),
+                prefixes=prefixes, logger=self.logger,
+                with_contrast=cfg.use_contrastive_align,
+            )
+        for _, end_points in self._eval_batches(
+            test_loader, eval_step, state, mesh
+        ):
+            evaluator.evaluate(end_points)
+        evaluator.synchronize_between_processes()
+        if jax.process_index() == 0:
+            evaluator.print_stats()
+        return evaluator
+
+    def evaluate_one_epoch_det(self, epoch, test_loader, eval_step, state,
+                               mesh):
+        """Detection mAP on the scannet prompt (train_dist_mod.py:161-278):
+        contrastive scores -> 256-bin -> 19-class projection -> NMS -> AP."""
+        cfg = self.cfg
+        dc18 = ScannetDatasetConfig(18)
+        parse_cfg = default_parse_config(dataset_num_class=dc18.num_class)
+        wordidx, tokenidx = detection_token_map(
+            test_loader.dataset.tokenizer
+        )
+        calculators = [
+            APCalculator(t, dc18.class2type) for t in cfg.ap_iou_thresholds
+        ]
+        for _, end_points in self._eval_batches(
+            test_loader, eval_step, state, mesh
+        ):
+            ep = {k: np.asarray(v) for k, v in end_points.items()
+                  if not isinstance(v, (list, str))}
+            # contrastive similarities as 256-bin scores
+            sim = np.einsum(
+                "bqd,btd->bqt",
+                np.asarray(ep["last_proj_queries"], np.float32),
+                np.asarray(ep["proj_tokens"], np.float32),
+            ) / 0.07
+            scores = np.zeros(sim.shape[:2] + (256,), np.float32)
+            scores[:, :, : sim.shape[-1]] = sim
+            # token -> 19-class projection (bin 18 collects 'not mentioned')
+            sem = np.zeros(sim.shape[:2] + (19,), np.float32)
+            for w, t in zip(wordidx, tokenidx):
+                cls = 18 if w == 0 else w - 1
+                sem[..., cls] += scores[..., t]
+            ep["last_sem_cls_scores"] = sem
+            preds = parse_predictions(ep, parse_cfg, "last_")
+            gts = parse_groundtruths(ep)
+            for calc in calculators:
+                calc.step(preds, gts)
+        results = {}
+        for t, calc in zip(cfg.ap_iou_thresholds, calculators):
+            metrics = calc.compute_metrics()
+            self.logger.info(f"=====> last_ IOU THRESH: {t} <=====")
+            self.logger.info(
+                f"mAP {metrics['mAP']:.4f} AR {metrics['AR']:.4f}"
+            )
+            results[t] = metrics
+        return results

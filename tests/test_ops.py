@@ -207,3 +207,21 @@ def test_three_interpolate_grad_matches_finite_diff():
             fm = f(feats, arr - pert)
         fd = (fp - fm) / (2 * eps)
         np.testing.assert_allclose(np.asarray(g[coord]), fd, rtol=1e-2)
+
+
+def test_fps_pallas_matches_xla_interpret():
+    """Pallas FPS kernel (interpret mode on CPU) vs the XLA reference."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from butd_detr_tpu.ops.pallas_fps import furthest_point_sample_pallas
+    from butd_detr_tpu.ops.pointcloud import furthest_point_sample_xla
+
+    rng = np.random.RandomState(11)
+    xyz = (rng.rand(3, 257, 3) * 4 + 1).astype(np.float32)
+    xyz[0, 5:9] = 0.0  # mag<=1e-3 skip path
+    want = np.asarray(furthest_point_sample_xla(jnp.asarray(xyz), 48))
+    got = np.asarray(
+        furthest_point_sample_pallas(jnp.asarray(xyz), 48, interpret=True)
+    )
+    np.testing.assert_array_equal(want, got)
