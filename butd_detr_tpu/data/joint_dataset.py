@@ -395,6 +395,9 @@ class JointGroundingDataset:
         if self.use_height:
             floor = np.percentile(pc[:, 2], 0.99)
             height = (pc[:, 2] - floor)[:, None]
+        multiview = None
+        if self.use_multiview:
+            multiview = self._load_multiview(anno["scan_id"])
 
         augmentations: Dict = {}
         if self.augment:
@@ -418,8 +421,30 @@ class JointGroundingDataset:
             feats.append(color)
         if height is not None:
             feats.append(height)
+        if multiview is not None:
+            feats.append(multiview)
         point_cloud = np.concatenate(feats, axis=1)
         return point_cloud, pc, augmentations, rel_name
+
+    def _load_multiview(self, scan_id: str) -> np.ndarray:
+        """Per-point 2D ENet features from the ScanRefer hdf5
+        (joint_det_dataset.py:84-88,350-356). Opened lazily per process."""
+        import multiprocessing as mp
+
+        import h5py
+
+        pid = mp.current_process().pid
+        if not hasattr(self, "_multiview_data"):
+            self._multiview_data = {}
+        if pid not in self._multiview_data:
+            self._multiview_data[pid] = h5py.File(
+                osp.join(
+                    self.data_path, "scanrefer_2d_feats",
+                    "enet_feats_maxpool.hdf5",
+                ),
+                "r", libver="latest",
+            )
+        return np.asarray(self._multiview_data[pid][scan_id])
 
     def _get_target_boxes(self, anno: Dict, scan, n_points: int, rng):
         """GT boxes + per-point instance labels

@@ -23,6 +23,12 @@ from butd_detr_tpu.eval.detection import (
     parse_predictions,
     voc_ap,
 )
+from butd_detr_tpu.eval.metrics import (
+    calc_iou,
+    multi_scene_precision_recall,
+    precision_recall,
+    single_scene_precision_recall,
+)
 from butd_detr_tpu.eval.grounding import (
     GroundingEvaluator,
     GroundingGTEvaluator,
@@ -42,6 +48,7 @@ __all__ = [
     "aabb_iou",
     "box3d_iou",
     "box3d_vol",
+    "calc_iou",
     "corners_to_aabb",
     "default_parse_config",
     "eval_det",
@@ -54,6 +61,9 @@ __all__ = [
     "get_iou_obb",
     "grounding_batch_hits",
     "gt_grounding_batch_hits",
+    "multi_scene_precision_recall",
+    "precision_recall",
+    "single_scene_precision_recall",
     "nms_2d_faster",
     "nms_3d_faster",
     "nms_3d_faster_samecls",

@@ -110,7 +110,7 @@ def ball_query(
     xyz: jax.Array,
     new_xyz: jax.Array,
     *,
-    chunk_size: int = 1024,
+    chunk_size: int = 256,
 ) -> jax.Array:
     """Fixed-radius neighbor search with first-k-in-index-order semantics.
 

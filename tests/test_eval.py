@@ -280,3 +280,30 @@ def test_gt_grounding_evaluator_exact_setup():
     assert ev.accuracy("last_", "bbs") == pytest.approx(1.0)
     assert ev.accuracy("last_", "bbf") == pytest.approx(1.0)
     ev.print_stats()
+
+
+def test_metric_util_precision_recall():
+    """Vectorized precision/recall vs hand calc (metric_util semantics)."""
+    from butd_detr_tpu.eval import (
+        calc_iou, multi_scene_precision_recall,
+    )
+
+    a = np.array([0, 0, 0, 2, 2, 2], float)
+    assert calc_iou(a, a) == pytest.approx(1.0)
+    b = np.array([10, 0, 0, 2, 2, 2], float)
+    assert calc_iou(a, b) == 0.0
+
+    labels = np.zeros((1, 2, 6))
+    labels[0, 0] = [0, 0, 0, 2, 2, 2]
+    labels[0, 1] = [5, 5, 5, 1, 1, 1]
+    pred = np.zeros((1, 3, 7))
+    pred[0, 0] = [0, 0, 0, 2, 2, 2, 0.9]   # TP
+    pred[0, 1] = [20, 0, 0, 1, 1, 1, 0.9]  # FP
+    pred[0, 2] = [5, 5, 5, 1, 1, 1, 0.1]   # below conf
+    tp, fp, fn, (prec, rec) = multi_scene_precision_recall(
+        labels, pred, iou_thresh=0.5, conf_thresh=0.5,
+        label_mask=np.ones((1, 2)), pred_mask=np.ones((1, 3)),
+    )
+    assert (tp, fp, fn) == (1, 1, 1)
+    assert prec == pytest.approx(0.5)
+    assert rec == pytest.approx(0.5)

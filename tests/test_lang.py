@@ -116,3 +116,41 @@ def test_scores_to_pred_spans():
     np.testing.assert_allclose(spans.sum(1), [1.0, 1.0])
     assert spans[0, 0] == 0.5 and spans[0, 2] == 0.5  # two positives
     assert spans[1, 1] == 1.0  # empty row falls back to argmax
+
+
+def test_generate_class_embeddings():
+    """Mean-pooled class-name embeddings (reference gen_class_embeddings)."""
+    import jax
+    import numpy as np
+
+    from butd_detr_tpu.lang import tiny_roberta_config
+    from butd_detr_tpu.lang.class_embeddings import (
+        generate_class_embeddings,
+        load_class_embeddings_into_params,
+    )
+    from butd_detr_tpu.lang.roberta import RobertaModel
+    from butd_detr_tpu.lang.tokenizer import SimpleTokenizer
+
+    config = tiny_roberta_config()
+    tok = SimpleTokenizer(vocab_size=config.vocab_size, max_len=8)
+    model = RobertaModel(config)
+    enc = tok(["chair"], max_len=8)
+    params = model.init(
+        jax.random.PRNGKey(0), enc.ids, enc.attention_mask
+    )["params"]
+    names = ["chair", "table", "shower curtain"]
+    table = generate_class_embeddings(
+        config, params, tok, names, max_len=8, batch_size=2
+    )
+    assert table.shape == (3, config.hidden_size)
+    assert np.isfinite(table).all()
+    # pooling respects mask: identical names give identical embeddings
+    table2 = generate_class_embeddings(
+        config, params, tok, ["chair"], max_len=8
+    )
+    np.testing.assert_allclose(table[0], table2[0], rtol=2e-5, atol=2e-5)
+
+    fake = {"butd_class_embeddings": np.zeros((3, config.hidden_size))}
+    out = load_class_embeddings_into_params(fake, table)
+    np.testing.assert_allclose(np.asarray(out["butd_class_embeddings"]),
+                               table, rtol=1e-6)
