@@ -30,15 +30,23 @@ from butd_detr_tpu.losses.boxes import (
 INF = jnp.float32(1e9)
 
 
-def _lsa_single(cost):
+def _lsa_single(cost, n_valid=None):
     """Solve min-cost assignment for one (G, Q) matrix, G <= Q.
 
     Returns col4row: (G,) int32 — the column assigned to each row.
     Augmenting-path algorithm with dual potentials (u, v), matching
     scipy's rectangular LSAP semantics.
+
+    `n_valid` (traced scalar) limits the solve to the first n rows — the
+    valid (unpadded) targets. This matches the reference exactly (scipy
+    runs on the cost matrix sliced to the true target count,
+    losses.py:318-324) and cuts the sequential row loop from G=132 to the
+    actual object count (usually <= ~10).
     """
     G, Q = cost.shape
     cost = cost.astype(jnp.float32)
+    if n_valid is None:
+        n_valid = jnp.int32(G)
 
     def solve_row(cur_row, state):
         u, v, col4row, row4col = state
@@ -112,16 +120,30 @@ def _lsa_single(cost):
     v0 = jnp.zeros((Q,), jnp.float32)
     col4row0 = jnp.full((G,), -1, jnp.int32)
     row4col0 = jnp.full((Q,), -1, jnp.int32)
-    _, _, col4row, _ = lax.fori_loop(
-        0, G, solve_row, (u0, v0, col4row0, row4col0)
+
+    def row_cond(s):
+        cur_row, _ = s
+        return cur_row < n_valid
+
+    def row_body(s):
+        cur_row, state = s
+        return cur_row + 1, solve_row(cur_row, state)
+
+    _, (_, _, col4row, _) = lax.while_loop(
+        row_cond, row_body, (jnp.int32(0), (u0, v0, col4row0, row4col0))
     )
-    return col4row
+    # padded rows keep col4row == -1; clamp to 0 so downstream gathers are
+    # in-bounds (they are masked by box_label_mask anyway)
+    return jnp.maximum(col4row, 0)
 
 
 @jax.jit
-def batched_linear_sum_assignment(cost):
-    """cost: (B, G, Q) with G <= Q -> (B, G) int32 column-per-row."""
-    return jax.vmap(_lsa_single)(cost)
+def batched_linear_sum_assignment(cost, n_valid=None):
+    """cost: (B, G, Q) with G <= Q -> (B, G) int32 column-per-row.
+    n_valid: optional (B,) count of valid rows per matrix."""
+    if n_valid is None:
+        return jax.vmap(_lsa_single)(cost)
+    return jax.vmap(_lsa_single)(cost, n_valid.astype(jnp.int32))
 
 
 @jax.jit
@@ -164,7 +186,8 @@ def hungarian_match(
     )
     C = lax.stop_gradient(C)
     return batched_linear_sum_assignment(
-        jnp.transpose(C, (0, 2, 1))  # rows = targets
+        jnp.transpose(C, (0, 2, 1)),  # rows = targets
+        n_valid=jnp.sum(box_label_mask > 0, axis=-1),
     )
 
 

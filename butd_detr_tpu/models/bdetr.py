@@ -64,6 +64,7 @@ class BeaUTyDETR(nn.Module):
     num_obj_class: int = 485
     input_feature_dim: int = 3
     num_queries: int = 256
+    num_encoder_layers: int = 3
     num_decoder_layers: int = 6
     self_position_embedding: str = "loc_learned"
     contrastive_align_loss: bool = True
@@ -145,7 +146,8 @@ class BeaUTyDETR(nn.Module):
         )(points_xyz, train=train)
         vis_padding_mask = jnp.zeros(points_xyz.shape[:2], bool)
         points_features, text_feats = BiEncoder(
-            num_layers=3, d_model=d, n_heads=8, dim_feedforward=256,
+            num_layers=self.num_encoder_layers, d_model=d, n_heads=8,
+            dim_feedforward=256,
             dropout=0.1, self_attend=self.self_attend,
             use_butd_enc_attn=self.butd, dtype=self.dtype,
             name="cross_encoder",

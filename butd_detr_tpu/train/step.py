@@ -70,6 +70,7 @@ def build_model(cfg: Config, roberta_config=None,
         num_obj_class=485,
         input_feature_dim=3 + cfg.input_feature_dim,
         num_queries=cfg.num_target,
+        num_encoder_layers=cfg.num_encoder_layers,
         num_decoder_layers=cfg.num_decoder_layers,
         self_position_embedding=cfg.self_position_embedding,
         contrastive_align_loss=cfg.use_contrastive_align,
