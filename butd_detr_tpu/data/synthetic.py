@@ -27,6 +27,7 @@ def synthetic_batch(
     n_true_tokens: int = 10,
     n_true_det: int = 20,
     seed: int = 0,
+    vocab_size: int = 1024,  # <= every tokenizer/config we ship
 ) -> Dict[str, np.ndarray]:
     rng = np.random.RandomState(seed)
     B, N, G, D, L = (
@@ -38,7 +39,7 @@ def synthetic_batch(
     ids = np.full((B, L), 1, np.int32)
     ids[:, 0] = 0
     ids[:, 1 : 1 + n_true_tokens] = rng.randint(
-        4, 5000, (B, n_true_tokens)
+        4, vocab_size, (B, n_true_tokens)
     )
     ids[:, 1 + n_true_tokens] = 2
     text_mask = (ids != 1).astype(np.int32)

@@ -53,11 +53,13 @@ def _lsa_single(cost, n_valid=None):
 
         # --- Dijkstra-style shortest augmenting path from cur_row.
         def sp_cond(s):
-            _, _, _, _, _, sink, _ = s
-            return sink < 0
+            # guard: at most Q path extensions (each marks one column);
+            # prevents an infinite loop on malformed (NaN) costs
+            *_, sink, _, it = s
+            return (sink < 0) & (it < Q)
 
         def sp_body(s):
-            i, min_val, remaining, spc, path, sink, sr = s
+            i, min_val, remaining, spc, path, sink, sr, it = s
             sr = sr.at[i].set(True)
             r = min_val + cost[i] - u[i] - v  # (Q,)
             upd = (r < spc) & remaining
@@ -70,7 +72,7 @@ def _lsa_single(cost, n_valid=None):
             sink = jnp.where(is_free, j, jnp.int32(-1))
             i = jnp.where(is_free, i, row4col[j])
             remaining = remaining.at[j].set(False)
-            return i, min_val, remaining, spc, path, sink, sr
+            return i, min_val, remaining, spc, path, sink, sr, it + 1
 
         init = (
             cur_row,
@@ -80,8 +82,9 @@ def _lsa_single(cost, n_valid=None):
             jnp.zeros((Q,), jnp.int32),
             jnp.int32(-1),
             jnp.zeros((G,), bool),
+            jnp.int32(0),
         )
-        _, min_val, remaining, spc, path, sink, sr = lax.while_loop(
+        _, min_val, remaining, spc, path, sink, sr, _ = lax.while_loop(
             sp_cond, sp_body, init
         )
         sc = ~remaining  # scanned columns
@@ -99,20 +102,21 @@ def _lsa_single(cost, n_valid=None):
 
         # --- augment along the alternating path back to cur_row.
         def aug_cond(s):
-            done, _, _, _ = s
-            return ~done
+            done, _, _, _, it = s
+            return ~done & (it <= G)  # guard vs malformed paths
 
         def aug_body(s):
-            _, j, col4row, row4col = s
+            _, j, col4row, row4col, it = s
             i = path[j]
             row4col = row4col.at[j].set(i)
             prev_j = col4row[i]
             col4row = col4row.at[i].set(j)
             done = i == cur_row
-            return done, prev_j, col4row, row4col
+            return done, prev_j, col4row, row4col, it + 1
 
-        _, _, col4row, row4col = lax.while_loop(
-            aug_cond, aug_body, (jnp.bool_(False), sink, col4row, row4col)
+        _, _, col4row, row4col, _ = lax.while_loop(
+            aug_cond, aug_body,
+            (jnp.bool_(False), sink, col4row, row4col, jnp.int32(0)),
         )
         return u, v, col4row, row4col
 
@@ -184,7 +188,11 @@ def hungarian_match(
         pred_logits, pred_boxes, positive_map, gt_boxes, box_label_mask,
         cost_class, cost_bbox, cost_giou,
     )
-    C = lax.stop_gradient(C)
+    # NaN costs would otherwise corrupt the comparisons inside the solver;
+    # map them to a large finite value (training diverged anyway if it
+    # happens — the guard keeps the step from wedging)
+    C = jnp.nan_to_num(lax.stop_gradient(C), nan=1e6, posinf=1e6,
+                       neginf=-1e6)
     return batched_linear_sum_assignment(
         jnp.transpose(C, (0, 2, 1)),  # rows = targets
         n_valid=jnp.sum(box_label_mask > 0, axis=-1),

@@ -75,3 +75,30 @@ class ConvBNRelu1d(nn.Module):
             epsilon=BN_EPS, dtype=jnp.float32,
         )(x)
         return nn.relu(x)
+
+
+class BNMomentumScheduler:
+    """Epoch-indexed BatchNorm-momentum schedule.
+
+    Functional analogue of reference pytorch_utils.BNMomentumScheduler
+    (:271-296): torch mutates module attributes in place; in flax the
+    momentum is a hyperparameter of the jitted step, so this object just
+    evaluates `bn_lambda(epoch)` and the caller rebinds the model/step when
+    the value changes (momentum enters BatchNorm as `1 - momentum` decay).
+    Unused by BeaUTyDETR training (the reference only sets momentum 0.1
+    once, bdetr.py:321-325); provided for parity.
+    """
+
+    def __init__(self, bn_lambda, last_epoch: int = -1):
+        self.lmbd = bn_lambda
+        self.last_epoch = last_epoch
+
+    def step(self, epoch=None) -> float:
+        if epoch is None:
+            epoch = self.last_epoch + 1
+        self.last_epoch = epoch
+        return float(self.lmbd(epoch))
+
+    @property
+    def momentum(self) -> float:
+        return float(self.lmbd(max(self.last_epoch, 0)))

@@ -138,3 +138,108 @@ class PointnetFPModule(nn.Module):
         else:
             new_features = interpolated
         return SharedMLP(self.mlp, dtype=self.dtype)(new_features, train=train)
+
+
+class GroupAll(nn.Module):
+    """Group every point into one 'ball' (reference pointnet2_utils.GroupAll
+    :379-426): returns (B, 1, N, 3 [+C])."""
+
+    use_xyz: bool = True
+
+    def __call__(self, xyz, new_xyz=None, features=None):
+        grouped_xyz = xyz[:, None, :, :]  # (B, 1, N, 3)
+        if features is not None:
+            grouped = features[:, None, :, :]
+            if self.use_xyz:
+                grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
+        else:
+            grouped = grouped_xyz
+        return grouped, grouped_xyz
+
+
+class PointnetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (reference
+    pointnet2_modules.py:78-124): one FPS, several (radius, nsample, mlp)
+    branches max-pooled and concatenated along channels. npoint=None uses
+    GroupAll (global pooling)."""
+
+    npoint: Optional[int]
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]  # per scale, EXCLUDING the input dim
+    use_xyz: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features=None, inds=None, *, train: bool = False):
+        assert len(self.radii) == len(self.nsamples) == len(self.mlps)
+        if self.npoint is not None:
+            if inds is None:
+                inds = furthest_point_sample(xyz, self.npoint)
+            new_xyz = gather_points(xyz, inds)
+        else:
+            new_xyz = None
+
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            if self.npoint is not None:
+                grouped, _ = QueryAndGroup(
+                    radius, nsample, use_xyz=self.use_xyz
+                )(xyz, new_xyz, features)
+            else:
+                grouped, _ = GroupAll(use_xyz=self.use_xyz)(
+                    xyz, None, features
+                )
+            out = SharedMLP(mlp, dtype=self.dtype, name=f"mlp{i}")(
+                grouped, train=train
+            )
+            outs.append(jnp.max(out, axis=2))  # (B, npoint|1, mlp[-1])
+        return new_xyz, jnp.concatenate(outs, axis=-1), inds
+
+
+class PointnetSAModule(PointnetSAModuleMSG):
+    """Single-scale convenience wrapper (pointnet2_modules.py:127-160)."""
+
+    @classmethod
+    def create(cls, *, mlp, npoint=None, radius=None, nsample=None,
+               use_xyz=True, dtype=jnp.float32, name=None):
+        return cls(
+            npoint=npoint, radii=(radius,), nsamples=(nsample,),
+            mlps=(tuple(mlp),), use_xyz=use_xyz, dtype=dtype, name=name,
+        )
+
+
+class PointnetLFPModuleMSG(nn.Module):
+    """Learnable multi-scale feature propagation from xyz1 onto xyz2
+    (reference pointnet2_modules.py:418-497; defined for completeness —
+    unused by BeaUTyDETR). Each scale: group xyz1-features around xyz2
+    centers -> MLP -> max-pool -> concat skip features2 -> post-MLP."""
+
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    post_mlp: Sequence[int]
+    use_xyz: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz2, xyz1, features2, features1, *,
+                 train: bool = False):
+        outs = []
+        post = SharedMLP(self.post_mlp, dtype=self.dtype, name="post_mlp")
+        for i, (radius, nsample, mlp) in enumerate(
+            zip(self.radii, self.nsamples, self.mlps)
+        ):
+            grouped, _ = QueryAndGroup(
+                radius, nsample, use_xyz=self.use_xyz
+            )(xyz1, xyz2, features1)
+            out = SharedMLP(mlp, dtype=self.dtype, name=f"mlp{i}")(
+                grouped, train=train
+            )
+            out = jnp.max(out, axis=2)  # (B, N2, mlp[-1])
+            if features2 is not None:
+                out = jnp.concatenate([out, features2], axis=-1)
+            outs.append(post(out[:, :, None, :], train=train)[:, :, 0, :])
+        return jnp.concatenate(outs, axis=-1)

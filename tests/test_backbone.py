@@ -106,3 +106,58 @@ def test_backbone_differentiable():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert total > 0
+
+
+def test_sa_module_msg_and_groupall():
+    """MSG set abstraction + GroupAll global pooling
+    (reference pointnet2_modules.py:78-124, pointnet2_utils.py:379-426)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from butd_detr_tpu.nn import GroupAll, PointnetSAModuleMSG
+
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.rand(2, 64, 3) * 2 + 1, jnp.float32)
+    feats = jnp.asarray(rng.rand(2, 64, 8), jnp.float32)
+
+    msg = PointnetSAModuleMSG(
+        npoint=16, radii=(0.5, 1.0), nsamples=(8, 4),
+        mlps=((16, 32), (16, 16)),
+    )
+    v = msg.init(jax.random.PRNGKey(0), xyz, feats)
+    new_xyz, new_feats, inds = msg.apply(v, xyz, feats)
+    assert new_xyz.shape == (2, 16, 3)
+    assert new_feats.shape == (2, 16, 48)  # 32 + 16 concat
+    assert inds.shape == (2, 16)
+
+    # GroupAll path (npoint=None): one global group
+    glob = PointnetSAModuleMSG(
+        npoint=None, radii=(None,), nsamples=(None,), mlps=((16, 24),),
+    )
+    v2 = glob.init(jax.random.PRNGKey(1), xyz, feats)
+    nx, nf, _ = glob.apply(v2, xyz, feats)
+    assert nx is None and nf.shape == (2, 1, 24)
+
+    grouped, gxyz = GroupAll()(xyz, None, feats)
+    assert grouped.shape == (2, 1, 64, 11)
+
+
+def test_lfp_module_msg():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from butd_detr_tpu.nn import PointnetLFPModuleMSG
+
+    rng = np.random.RandomState(1)
+    xyz1 = jnp.asarray(rng.rand(2, 64, 3), jnp.float32)
+    xyz2 = jnp.asarray(rng.rand(2, 16, 3), jnp.float32)
+    f1 = jnp.asarray(rng.rand(2, 64, 8), jnp.float32)
+    f2 = jnp.asarray(rng.rand(2, 16, 4), jnp.float32)
+    lfp = PointnetLFPModuleMSG(
+        radii=(0.5,), nsamples=(8,), mlps=((16,),), post_mlp=(12,),
+    )
+    v = lfp.init(jax.random.PRNGKey(0), xyz2, xyz1, f2, f1)
+    out = lfp.apply(v, xyz2, xyz1, f2, f1)
+    assert out.shape == (2, 16, 12)

@@ -121,7 +121,7 @@ def test_grounding_eval_det_setup(fake_root, tmp_path):
         init_state, make_eval_step, make_optimizer, shard_eval_step,
     )
 
-    mesh = make_mesh()
+    mesh = make_mesh(dp=cfg.dp, mp=cfg.mp)
     model = tt.get_model()
     optimizer = make_optimizer(cfg, steps_per_epoch=2)
     state = init_state(
