@@ -43,9 +43,10 @@ def main():
     mode = os.environ.get("BENCH_MODE", "train")
     B = int(os.environ.get("BENCH_BATCH", "8"))
     N = int(os.environ.get("BENCH_POINTS", "50000"))
+    bf16 = os.environ.get("BENCH_BF16", "0") == "1"
     cfg = Config(
         use_contrastive_align=True, use_soft_token_loss=True, butd=True,
-        self_attend=True, use_color=True, batch_size=B,
+        self_attend=True, use_color=True, batch_size=B, use_bf16=bf16,
     )
     model = build_model(cfg, roberta_config=roberta_base_config())
     batch = synthetic_batch(
@@ -68,19 +69,24 @@ def main():
         state, metrics = step(state, sbatch, rng)
         jax.block_until_ready(metrics)
         print(f"# train-step compile {time.time()-t0:.0f}s", flush=True)
-        # steady state: fresh data each step, force metric readback
-        times = []
-        for i in range(5):
-            nb = synthetic_batch(
+        # steady state, pipelined like real training: pre-stage fresh
+        # host batches, let dispatch overlap H2D with compute, sync once
+        n_steps = 8
+        host_batches = [
+            synthetic_batch(
                 batch_size=B, num_points=N, num_feats=3, max_text_len=64,
                 max_num_obj=132, max_det_boxes=132, seed=i + 1,
             )
-            sb = shard_batch(mesh, nb)
-            t0 = time.time()
-            state, metrics = step(state, sb, rng)
-            _ = float(metrics["loss"])
-            times.append(time.time() - t0)
-        dt = float(np.median(times))
+            for i in range(n_steps)
+        ]
+        # warm-up one more step so state/buffers are steady
+        state, metrics = step(state, shard_batch(mesh, host_batches[0]), rng)
+        _ = float(metrics["loss"])
+        t0 = time.time()
+        for nb in host_batches:
+            state, metrics = step(state, shard_batch(mesh, nb), rng)
+        _ = float(metrics["loss"])  # sync once at the end
+        dt = (time.time() - t0) / n_steps
         metric = "grounding_train_scenes_per_sec_per_chip"
     else:
         fwd = jax.jit(

@@ -50,8 +50,7 @@ def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, out_ref):
         # ~1.5x slower on v5e)
         return op(op(a, axis=2, keepdims=True), axis=1, keepdims=True)
 
-    def body(j, carry):
-        sel, temp, acc = carry  # (BB,1,1) i32, (BB,R,128) f32, (BB,1,npoint)
+    def select_one(j, sel, temp, acc):
         onehot = (flat == sel).astype(jnp.float32)
         lastx = _reduce(jnp.sum, x * onehot)
         lasty = _reduce(jnp.sum, y * onehot)
@@ -68,6 +67,12 @@ def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, out_ref):
         best = _reduce(jnp.min, jnp.where(score == m, flat, BIG))
         acc = jnp.where(out_cols == j, best, acc)
         return best, temp, acc
+
+    # NOTE: manual unrolling (2x/4x) exceeds the 16M scoped-VMEM budget at
+    # the production tile (8 x 50k); one selection per loop iteration.
+    def body(j, carry):
+        sel, temp, acc = carry
+        return select_one(j, sel, temp, acc)
 
     sel0 = jnp.zeros((BB, 1, 1), jnp.int32)
     temp0 = jnp.full((BB, R, LANES), 1e10, jnp.float32)
