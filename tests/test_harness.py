@@ -142,3 +142,33 @@ def test_detection_token_map_simple_tokenizer():
     assert set(wordidx) == set(range(19))
     # token indices strictly increasing within the prompt
     assert (np.diff(tokenidx) > 0).all()
+
+
+def test_detection_eval_on_scannet_prompt(fake_root, tmp_path):
+    """evaluate_one_epoch_det end-to-end: scannet test_dataset routes to
+    the detection mAP path (token->class projection + NMS + VOC AP)."""
+    import jax
+
+    from butd_detr_tpu.parallel import make_mesh
+    from butd_detr_tpu.train import (
+        init_state, make_eval_step, make_optimizer, shard_eval_step,
+    )
+
+    cfg = tiny_config(
+        tmp_path, butd=True, dataset=["scannet"], test_dataset="scannet",
+    )
+    tt = TinyTrainTester(cfg, fake_root)
+    _, test_loader = tt.get_loaders()
+    mesh = make_mesh(dp=cfg.dp, mp=cfg.mp)
+    model = tt.get_model()
+    optimizer = make_optimizer(cfg, steps_per_epoch=2)
+    state = init_state(
+        model, optimizer, next(iter(test_loader)), jax.random.PRNGKey(0)
+    )
+    eval_step = shard_eval_step(
+        make_eval_step(model, cfg, with_loss=False), mesh
+    )
+    results = tt.evaluate_one_epoch(1, test_loader, eval_step, state, mesh)
+    for t in cfg.ap_iou_thresholds:
+        assert 0.0 <= results[t]["mAP"] <= 1.0
+        assert 0.0 <= results[t]["AR"] <= 1.0
