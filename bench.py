@@ -41,7 +41,7 @@ def main():
     from butd_detr_tpu.train.step import INPUT_KEYS, build_model
 
     mode = os.environ.get("BENCH_MODE", "train")
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "24"))
     N = int(os.environ.get("BENCH_POINTS", "50000"))
     bf16 = os.environ.get("BENCH_BF16", "0") == "1"
     cfg = Config(
@@ -59,7 +59,28 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     t0 = time.time()
-    state = init_state(model, optimizer, batch, rng)
+    if os.environ.get("BENCH_FAST_INIT", "0") != "1":
+        state = init_state(model, optimizer, batch, rng)
+    else:
+        # shape-only init (zeros): skips the multi-minute init compile but
+        # UNDERSTATES throughput — all-zero params make the Hungarian cost
+        # matrices degenerate and the matcher loops run longer (~25%)
+        from butd_detr_tpu.train.step import INPUT_KEYS as IK
+        from butd_detr_tpu.train.step import TrainState
+
+        inputs = {k: jnp.asarray(batch[k]) for k in IK if k in batch}
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), inputs)
+        )
+        variables = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(variables["params"]),
+        )
     print(f"# init {time.time()-t0:.0f}s", flush=True)
 
     if mode == "train":
