@@ -7,6 +7,7 @@ from butd_detr_tpu.train.checkpoint import (
 )
 from butd_detr_tpu.train.config import Config, parse_config
 from butd_detr_tpu.train.harness import TrainTester, detection_token_map
+from butd_detr_tpu.train.torch_convert import convert_torch_checkpoint
 from butd_detr_tpu.train.optimizer import (
     make_optimizer,
     make_schedule,
