@@ -32,6 +32,12 @@ class CriterionConfig(NamedTuple):
     cost_bbox: float = 0.0
     cost_giou: float = 2.0
     use_contrastive_align: bool = True
+    # True (default): pad tokens are masked out of the contrastive
+    # normalizer (principled fixed-shape behavior). False: reproduce the
+    # reference exactly, where pad logits inside the padded window
+    # contribute to the logsumexp (losses.py:420-489 pads to the
+    # batch-longest utterance).
+    mask_pad_tokens: bool = True
 
 
 def _take_per_query(values, assignment):
@@ -100,22 +106,26 @@ def loss_contrastive_align(
     num_boxes,
     eos_coef=0.1,
     temperature=0.07,
+    mask_pad_tokens: bool = True,
 ):
     """Bidirectional InfoNCE between queries and tokens
     (losses.py:420-489).
 
-    Departure from the reference: pad-token logits are masked out of the
-    logsumexp. The reference pads to the batch-longest utterance and lets
-    those pad positions contribute to the normalizer, making the loss
+    Default departure from the reference: pad-token logits are masked out
+    of the logsumexp. The reference pads to the batch-longest utterance and
+    lets those pad positions contribute to the normalizer, making the loss
     depend on batch composition; masking is the principled fixed-shape
-    equivalent.
+    equivalent. Pass mask_pad_tokens=False for exact reference behavior
+    (pinned by tests/test_loss_golden.py).
     """
     B, Q, _ = proj_queries.shape
     L = proj_tokens.shape[1]
     logits = (
         jnp.einsum("bqd,bld->bql", proj_queries, proj_tokens) / temperature
     ).astype(jnp.float32)
-    tok_real = text_mask > 0  # (B, L)
+    tok_real = (text_mask > 0) if mask_pad_tokens else jnp.ones(
+        text_mask.shape, bool
+    )
     NEG = jnp.float32(-1e9)
     logits = jnp.where(tok_real[:, None, :], logits, NEG)
 
@@ -272,6 +282,7 @@ def set_criterion_losses(
             targets["text_mask"], targets["positive_map"], assignment,
             targets["box_label_mask"], num_boxes,
             cfg.eos_coef, cfg.temperature,
+            mask_pad_tokens=getattr(cfg, "mask_pad_tokens", True),
         )
     return losses, assignment
 
