@@ -316,6 +316,11 @@ def eval_det(
     for img_id, gts in gt_all.items():
         for classname, bbox in gts:
             gt.setdefault(classname, {}).setdefault(img_id, []).append(bbox)
+    # reference quirk (eval_det.py:324-333): classes that appear only in
+    # predictions still get (empty) gt entries, so they contribute AP=0
+    # terms to the mAP mean
+    for classname in pred:
+        gt.setdefault(classname, {})
 
     classes = [c for c in gt if c in pred]
     jobs = [(pred[c], gt[c], ovthresh, use_07_metric) for c in classes]
