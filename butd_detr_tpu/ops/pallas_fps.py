@@ -12,11 +12,23 @@ N (~50k) points. Two wins over the XLA `lax.fori_loop` version
     of a serial per-sample grid — each sequential step covers the whole
     tile in a few VPU passes.
 
+Kernel layout (v2). Coordinates live as ONE (3*BB, R, 128) block — rows
+[0:BB] = x, [BB:2BB] = y, [2BB:3BB] = z — so the per-step coordinate
+extraction of the newly selected point is a single masked select + one
+two-stage reduction over all three coordinates at once (the v1 layout with
+separate x/y/z planes needed three, i.e. 10 reductions/step vs 6 now; the
+sequential loop is reduction-latency-bound). The validity mask
+(mag^2 <= 1e-3 skip, sampling_gpu.cu:105-106) is folded into the running
+min-distance buffer by initializing invalid lanes to -1: `min(temp, d)`
+keeps them at -1 forever since d >= 0, which removes the per-step
+`where(valid, ...)` pass AND the separate score pass.
+
 Semantics replicate the reference CUDA kernel exactly
 (pointnet2/_ext_src/src/sampling_gpu.cu:74-178), like the XLA path:
 index 0 first, 1e10 init, mag^2 <= 1e-3 skip, argmax ties -> first
-occurrence. Points are laid out (R, 128); row-major flattening preserves
-global indices because the wrapper pads N to a multiple of 128 with zeros
+occurrence, distance accumulated per coordinate as (dx^2 + dy^2) + dz^2.
+Points are laid out (R, 128); row-major flattening preserves global
+indices because the wrapper pads N to a multiple of 128 with zeros
 (zero magnitude => never candidates).
 """
 
@@ -27,16 +39,18 @@ import jax.numpy as jnp
 from jax import lax
 
 LANES = 128
-MAX_BATCH_TILE = 8  # VMEM budget: 8 x 50k pts x (x,y,z,temp,d) ~ 10 MB
+MAX_BATCH_TILE = 8  # VMEM budget: 8 x 50k pts x (xyz3, temp, flat) ~ 11 MB
 
 
-def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, out_ref):
-    x = x_ref[:]  # (BB, R, 128) f32
-    y = y_ref[:]
-    z = z_ref[:]
-    valid = (x * x + y * y + z * z) > 1e-3
+def _fps_kernel(npoint: int, xyz3_ref, out_ref):
+    # xyz3_ref: (3*BB, R, 128) f32 — x rows, then y rows, then z rows.
+    xyz3 = xyz3_ref[:]
+    BB3, R, _ = xyz3.shape
+    BB = BB3 // 3
+    x = xyz3[0:BB]
+    y = xyz3[BB : 2 * BB]
+    z = xyz3[2 * BB : 3 * BB]
 
-    BB, R, _ = x.shape
     rows = lax.broadcasted_iota(jnp.int32, (BB, R, LANES), 1)
     cols = lax.broadcasted_iota(jnp.int32, (BB, R, LANES), 2)
     flat = rows * LANES + cols  # global point index per lane
@@ -45,39 +59,45 @@ def _fps_kernel(npoint: int, x_ref, y_ref, z_ref, out_ref):
     BIG = jnp.int32(2**30)
 
     def _reduce(op, a):
-        # (BB, R, L) -> (BB, 1, 1) via two single-axis reductions (lane
+        # (BB', R, L) -> (BB', 1, 1) via two single-axis reductions (lane
         # axis first; multi-axis reduce SIGABRTs Mosaic, sublane-first is
         # ~1.5x slower on v5e)
         return op(op(a, axis=2, keepdims=True), axis=1, keepdims=True)
 
-    def select_one(j, sel, temp, acc):
-        onehot = (flat == sel).astype(jnp.float32)
-        lastx = _reduce(jnp.sum, x * onehot)
-        lasty = _reduce(jnp.sum, y * onehot)
-        lastz = _reduce(jnp.sum, z * onehot)
-        d = (
-            (x - lastx) * (x - lastx)
-            + (y - lasty) * (y - lasty)
-            + (z - lastz) * (z - lastz)
-        )
-        temp = jnp.where(valid, jnp.minimum(temp, d), temp)
-        score = jnp.where(valid, temp, -1.0)
-        # first-occurrence argmax per batch row
-        m = _reduce(jnp.max, score)
-        best = _reduce(jnp.min, jnp.where(score == m, flat, BIG))
-        acc = jnp.where(out_cols == j, best, acc)
-        return best, temp, acc
+    def _extract_coords(mask):
+        # Coordinates of the selected point per batch row: tile the (BB,R,L)
+        # match mask across the stacked coordinate block — one masked select
+        # + one two-stage sum-reduction covers all three coordinates.
+        # (Tiling the mask, not the scalar index, keeps Mosaic layouts
+        # happy: a reduction result is layout-replicated and broadcasts
+        # against `flat` for free, whereas a concatenated (3BB,1,1) scalar
+        # cannot broadcast across both sublanes and lanes.)
+        mask3 = jnp.concatenate([mask, mask, mask], axis=0)  # (3BB, R, L)
+        return _reduce(jnp.sum, jnp.where(mask3, xyz3, 0.0))  # (3BB,1,1)
 
-    # NOTE: manual unrolling (2x/4x) exceeds the 16M scoped-VMEM budget at
-    # the production tile (8 x 50k); one selection per loop iteration.
-    def body(j, carry):
-        sel, temp, acc = carry
-        return select_one(j, sel, temp, acc)
-
-    sel0 = jnp.zeros((BB, 1, 1), jnp.int32)
-    temp0 = jnp.full((BB, R, LANES), 1e10, jnp.float32)
+    # Invalid points (mag^2 <= 1e-3) get temp = -1 once; min(temp, d) with
+    # d >= 0 keeps them -1 forever, so temp doubles as the argmax score
+    # (CUDA init `best = -1`): they are only picked if no point is valid
+    # (then every lane ties at -1 and the min-index rule returns 0).
+    valid0 = (x * x + y * y + z * z) > 1e-3
+    temp0 = jnp.where(valid0, jnp.float32(1e10), jnp.float32(-1.0))
+    c0 = _extract_coords(flat == 0)
     acc0 = jnp.zeros((BB, 1, npoint), jnp.int32)  # slot 0 = index 0
-    _, _, acc = lax.fori_loop(1, npoint, body, (sel0, temp0, acc0))
+
+    def body(j, carry):
+        c3, temp, acc = carry
+        diff = xyz3 - c3
+        sq = diff * diff
+        # exact CUDA accumulation order: (dx^2 + dy^2) + dz^2
+        d = (sq[0:BB] + sq[BB : 2 * BB]) + sq[2 * BB : 3 * BB]
+        temp = jnp.minimum(temp, d)
+        m = _reduce(jnp.max, temp)
+        # first-occurrence argmax per batch row
+        best = _reduce(jnp.min, jnp.where(temp == m, flat, BIG))
+        acc = jnp.where(out_cols == j, best, acc)
+        return _extract_coords(flat == best), temp, acc
+
+    _, _, acc = lax.fori_loop(1, npoint, body, (c0, temp0, acc0))
     out_ref[:] = acc
 
 
@@ -109,19 +129,28 @@ def furthest_point_sample_pallas(
     bpad = (-B) % BB
     if bpad:
         xyz = jnp.pad(xyz, ((0, bpad), (0, 0), (0, 0)))
-    planes = xyz.reshape(B + bpad, R, LANES, 3)
-
-    in_spec = pl.BlockSpec(
-        (BB, R, LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    n_tiles = (B + bpad) // BB
+    # (n_tiles*3*BB, R, L): per batch-tile, x rows then y rows then z rows,
+    # so one BlockSpec row-slice hands the kernel its (3*BB, R, L) block.
+    planes = (
+        xyz.reshape(n_tiles, BB, R, LANES, 3)
+        .transpose(0, 4, 1, 2, 3)
+        .reshape(n_tiles * 3 * BB, R, LANES)
     )
+
     out = pl.pallas_call(
         partial(_fps_kernel, npoint),
-        grid=((B + bpad) // BB,),
-        in_specs=[in_spec, in_spec, in_spec],
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (3 * BB, R, LANES), lambda b: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
         out_specs=pl.BlockSpec(
             (BB, 1, npoint), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B + bpad, 1, npoint), jnp.int32),
         interpret=interpret,
-    )(planes[..., 0], planes[..., 1], planes[..., 2])
+    )(planes)
     return lax.stop_gradient(out[:B, 0, :])
