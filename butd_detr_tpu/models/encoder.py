@@ -88,6 +88,11 @@ class CrossAttentionLayer(nn.Module):
             epsilon=LN_EPS, dtype=jnp.float32, name=name
         )
         qv = vis_feats + pos_feats  # pos only on the vision query (:80-81)
+        # NOTE: the reference binds cross-attention keys/values BEFORE any
+        # update (`qt = kt = vt = text_feats`, :91-93): vision attends to
+        # the ORIGINAL text features, not the cross_lv/FFN-updated ones
+        # (:99-107 run first but :101's kt/vt were captured at :93).
+        kt = vt = text_feats
 
         # language attends to vision
         t2 = MultiHeadAttention(
@@ -102,11 +107,11 @@ class CrossAttentionLayer(nn.Module):
                   dtype=self.dtype, name="ffn_lv")(text_feats, train=train)
         )
 
-        # vision attends to language
+        # vision attends to (pre-update) language
         v2 = MultiHeadAttention(
             self.d_model, self.n_heads, dropout=self.dropout,
             dtype=self.dtype, name="cross_vl",
-        )(qv, text_feats, text_feats,
+        )(qv, kt, vt,
           key_padding_mask=text_key_padding_mask, train=train)
         vis_feats = norm("norm_vl")(vis_feats + drop(v2))
 
