@@ -225,3 +225,86 @@ def test_fps_pallas_matches_xla_interpret():
         furthest_point_sample_pallas(jnp.asarray(xyz), 48, interpret=True)
     )
     np.testing.assert_array_equal(want, got)
+
+
+def test_hilbert3_is_a_true_hilbert_curve():
+    """On the full 8^3 grid the code must be bijective with every pair of
+    consecutive cells face-adjacent (L1 distance exactly 1)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from butd_detr_tpu.ops.pointcloud import _hilbert3
+
+    g = np.stack(
+        np.meshgrid(*[np.arange(8)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3)
+    xyz = (g.astype(np.float32) + 0.5) / 8.0
+    lo = np.zeros((1, 1, 3), np.float32)
+    hi = np.ones((1, 1, 3), np.float32)
+    code = np.asarray(
+        _hilbert3(jnp.asarray(xyz[None]), jnp.asarray(lo), jnp.asarray(hi),
+                  bits=3)
+    )[0]
+    assert len(np.unique(code)) == 512
+    path = g[np.argsort(code)]
+    steps = np.abs(np.diff(path, axis=0)).sum(1)
+    assert (steps == 1).all()
+
+
+def _clustered_scene(rng, n, b):
+    pts = []
+    for _ in range(40):
+        c = rng.uniform(0, 4, 3)
+        pts.append(c + rng.normal(0, 0.15, (n // 40, 3)))
+    xyz = np.concatenate(pts)[None].repeat(b, 0).astype(np.float32)
+    for i in range(b):
+        rng.shuffle(xyz[i])  # the reference subsample randomizes order
+    return xyz
+
+
+def test_ball_query_pruned_exact():
+    """The Hilbert-pruned path must match the direct sweep bit-exactly on
+    clustered (fast path), random (fallback path), and empty-center data,
+    including the original-center-order restore."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from butd_detr_tpu.ops.pointcloud import (
+        _ball_query_pruned,
+        _ball_query_scan,
+        ball_query,
+    )
+
+    rng = np.random.default_rng(17)
+    B, n, m = 2, 6000, 256
+
+    def check(xyz, cen, r, ns, mt=16, kc=96):
+        ref, _ = _ball_query_scan(r, ns, jnp.asarray(xyz), jnp.asarray(cen))
+        got = _ball_query_pruned(
+            r, ns, jnp.asarray(xyz), jnp.asarray(cen), 256, mt, kc
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    xyz = _clustered_scene(rng, n, B)
+    ci = rng.integers(0, xyz.shape[1], (B, m))
+    cen = np.take_along_axis(xyz, ci[..., None], 1)
+    check(xyz, cen, 0.2, 64)          # fast path
+    check(xyz, cen, 0.4, 32)          # different radius/nsample
+    check(xyz, cen, 0.2, 64, kc=4)    # forced fallback (count_rel > kc)
+
+    far = cen.copy()
+    far[:, ::3] += 50.0               # centers with no neighbors
+    check(xyz, far, 0.2, 64)
+
+    rand = rng.uniform(0, 4, (B, n, 3)).astype(np.float32)
+    rcen = np.take_along_axis(
+        rand, rng.integers(0, n, (B, m))[..., None], 1
+    )
+    check(rand, rcen, 0.2, 64)        # incoherent data
+
+    # dispatcher engages pruning above the threshold
+    got = ball_query(
+        0.2, 64, jnp.asarray(xyz), jnp.asarray(cen), prune_threshold=4000
+    )
+    ref, _ = _ball_query_scan(0.2, 64, jnp.asarray(xyz), jnp.asarray(cen))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
