@@ -84,6 +84,14 @@ def main():
         put(p + "sem_cls_scores", rng.randn(B, Q, T).astype(np.float32))
         put(p + "proj_queries", rng.randn(B, Q, 64).astype(np.float32) * 0.3)
 
+    # gradient goldens: loss gradients w.r.t. every prediction tensor
+    grad_keys = ["proj_tokens", "seeds_obj_cls_logits"] + [
+        p + k for p in prefixes
+        for k in ("center", "pred_size", "sem_cls_scores", "proj_queries")
+    ]
+    for k in grad_keys:
+        ep[k] = ep[k].clone().requires_grad_(True)
+
     matcher = ref.HungarianMatcher(1, 0, 2, True)
     criterion = ref.SetCriterion(
         matcher, losses=["boxes", "labels", "contrastive_align"],
@@ -92,9 +100,16 @@ def main():
     loss, ep = ref.compute_hungarian_loss(
         ep, num_layers, criterion, query_points_obj_topk=4
     )
+    loss.backward()
 
     out = dict(data)
     out["num_decoder_layers"] = np.int64(num_layers)
+    for k in grad_keys:
+        g = ep[k].grad
+        out["grad_" + k] = (
+            np.zeros(ep[k].shape, np.float32) if g is None
+            else g.detach().numpy()
+        )
     for k in ("loss", "loss_ce", "loss_bbox", "loss_giou",
               "loss_constrastive_align", "query_points_generation_loss"):
         out["golden_" + k] = np.float64(float(ep[k]))
