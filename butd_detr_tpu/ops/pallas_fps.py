@@ -39,7 +39,21 @@ import jax.numpy as jnp
 from jax import lax
 
 LANES = 128
-MAX_BATCH_TILE = 8  # VMEM budget: 8 x 50k pts x (xyz3, temp, flat) ~ 11 MB
+MAX_BATCH_TILE = 8  # VMEM budget at 50k pts: 8 x (xyz3, temp, flat) ~ 11 MB
+
+
+def _batch_tile(B: int, R: int) -> int:
+    """Largest batch tile fitting the ~13 MB VMEM working set.
+
+    Per batch row the kernel keeps xyz3 (3R rows), temp (R) and flat (R)
+    f32 lane-tiles resident: 5*R*128*4 bytes. Small tiers (N <= 2048)
+    fit the whole batch in one program, which matters because the
+    sequential selection loop is latency-bound — fewer grid programs =
+    fewer serialized loops.
+    """
+    per_row = 5 * R * LANES * 4
+    fit = max(1, (13 * 2**20) // per_row)
+    return min(B, fit, 64)
 
 
 def _fps_kernel(npoint: int, xyz3_ref, out_ref):
@@ -101,9 +115,11 @@ def _fps_kernel(npoint: int, xyz3_ref, out_ref):
     out_ref[:] = acc
 
 
-@partial(jax.jit, static_argnums=(1,), static_argnames=("interpret",))
+@partial(jax.jit, static_argnums=(1,),
+         static_argnames=("interpret", "batch_tile"))
 def furthest_point_sample_pallas(
-    xyz: jax.Array, npoint: int, *, interpret: bool = False
+    xyz: jax.Array, npoint: int, *, interpret: bool = False,
+    batch_tile: int | None = None,
 ) -> jax.Array:
     """Drop-in Pallas replacement for ops.furthest_point_sample.
 
@@ -125,7 +141,7 @@ def furthest_point_sample_pallas(
         xyz = jnp.pad(xyz, ((0, 0), (0, pad), (0, 0)))  # zeros: invalid
     R = (N + pad) // LANES
 
-    BB = B if B <= MAX_BATCH_TILE else MAX_BATCH_TILE
+    BB = batch_tile or _batch_tile(B, R)
     bpad = (-B) % BB
     if bpad:
         xyz = jnp.pad(xyz, ((0, bpad), (0, 0), (0, 0)))

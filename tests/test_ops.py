@@ -308,3 +308,21 @@ def test_ball_query_pruned_exact():
     )
     ref, _ = _ball_query_scan(0.2, 64, jnp.asarray(xyz), jnp.asarray(cen))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fps_pallas_multi_tile_batches():
+    """Batch tiling (grid over batch) must not change results; exercise
+    uneven tiles with padding."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from butd_detr_tpu.ops.pallas_fps import furthest_point_sample_pallas
+    from butd_detr_tpu.ops.pointcloud import furthest_point_sample_xla
+
+    rng = np.random.RandomState(5)
+    xyz = (rng.rand(9, 300, 3) * 4 + 1).astype(np.float32)
+    want = np.asarray(furthest_point_sample_xla(jnp.asarray(xyz), 64))
+    for bt in (2, 4, 9):
+        got = np.asarray(furthest_point_sample_pallas(
+            jnp.asarray(xyz), 64, interpret=True, batch_tile=bt))
+        np.testing.assert_array_equal(want, got, err_msg=f"tile {bt}")
