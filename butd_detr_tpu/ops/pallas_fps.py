@@ -73,10 +73,25 @@ def _fps_kernel(npoint: int, xyz3_ref, out_ref):
     BIG = jnp.int32(2**30)
 
     def _reduce(op, a):
-        # (BB', R, L) -> (BB', 1, 1) via two single-axis reductions (lane
-        # axis first; multi-axis reduce SIGABRTs Mosaic, sublane-first is
-        # ~1.5x slower on v5e)
-        return op(op(a, axis=2, keepdims=True), axis=1, keepdims=True)
+        # (BB', R, L) -> (BB', 1, 1): explicit binary TREE over the R axis
+        # at full lane width (log2(R) dependent stages, each halving the
+        # array; total extra elementwork ~2x one pass), then the native
+        # lane reduction on the tiny (BB', 1, L) remainder. The sequential
+        # selection loop is bound by reduction LATENCY, and the native
+        # axis-1 reduction is a linear accumulation over R rows.
+        # (multi-axis reduce SIGABRTs Mosaic; lane-axis-only is fast.)
+        pair = {jnp.max: jnp.maximum, jnp.min: jnp.minimum,
+                jnp.sum: jnp.add}[op]
+        r = a.shape[1]
+        while r > 1:
+            h = r // 2
+            head = pair(a[:, :h], a[:, h : 2 * h])
+            a = (
+                head if 2 * h == r
+                else jnp.concatenate([head, a[:, 2 * h :]], axis=1)
+            )
+            r = a.shape[1]
+        return op(a, axis=2, keepdims=True)
 
     def _extract_coords(mask):
         # Coordinates of the selected point per batch row: tile the (BB,R,L)
