@@ -378,6 +378,163 @@ def _ball_query_pruned(
     return lax.stop_gradient(lax.cond(violated, full, fast, None))
 
 
+def _ball_query_pruned_pallas(
+    radius, nsample, xyz, new_xyz, k_chunks=64, interpret=False
+):
+    """Hilbert-pruned EXACT ball query backed by the Pallas selection
+    kernel (ops/pallas_ball_query.py) — the production TPU path for the
+    sa1 shape. Prep (pure XLA): Hilbert sort with explicit sentinel keys,
+    per-chunk re-sort by ORIGINAL id (the kernel's compaction emits
+    id-ascending lists), chunk AABBs, per-center-union relevance per tile
+    of 8 Hilbert-adjacent centers, first-k_chunks chunk selection, one-hot
+    MXU gathers. Falls back to the full sweep (lax.cond) whenever any
+    tile's relevant-chunk count exceeds k_chunks, so results are always
+    bit-identical to `_ball_query_scan`.
+    """
+    from butd_detr_tpu.ops.pallas_ball_query import (
+        GT,
+        LANES as C,
+        TR,
+        ball_query_select_pallas,
+    )
+
+    B, N, _ = xyz.shape
+    m = new_xyz.shape[1]
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    lo = jnp.min(xyz, axis=1, keepdims=True)
+    hi = jnp.max(xyz, axis=1, keepdims=True)
+
+    pad = (-N) % C + C  # always >= one pure-sentinel chunk
+    xyz_p = jnp.concatenate(
+        [xyz, jnp.full((B, pad, 3), 1e9, jnp.float32)], axis=1
+    )
+    ids = jnp.broadcast_to(
+        jnp.arange(N + pad, dtype=jnp.int32), (B, N + pad)
+    )
+    code = jnp.where(
+        jnp.arange(N + pad) >= N, jnp.int32(2**30),
+        _hilbert3(xyz_p, lo, hi),
+    )
+    _, xs, ys, zs, ids_s = lax.sort(
+        (code, xyz_p[..., 0], xyz_p[..., 1], xyz_p[..., 2], ids),
+        dimension=1, num_keys=1,
+    )
+    nc = (N + pad) // C
+    cxc = xs.reshape(B, nc, C)
+    cyc = ys.reshape(B, nc, C)
+    czc = zs.reshape(B, nc, C)
+    idc = ids_s.reshape(B, nc, C)
+    # kernel contract: every chunk row ascends by ORIGINAL id
+    idc, cxc, cyc, czc = lax.sort(
+        (idc, cxc, cyc, czc), dimension=2, num_keys=1
+    )
+    clo = jnp.stack(
+        [cxc.min(axis=2), cyc.min(axis=2), czc.min(axis=2)], axis=-1
+    )
+    chi = jnp.stack(
+        [cxc.max(axis=2), cyc.max(axis=2), czc.max(axis=2)], axis=-1
+    )
+
+    # --- Hilbert-sorted center tiles of TR ------------------------------
+    ccode = _hilbert3(new_xyz, lo, hi)
+    cid0 = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (B, m))
+    _, ccx, ccy, ccz, corder = lax.sort(
+        (ccode, new_xyz[..., 0], new_xyz[..., 1], new_xyz[..., 2], cid0),
+        dimension=1, num_keys=1,
+    )
+    cen_s = jnp.stack([ccx, ccy, ccz], axis=-1)
+    mpad = (-m) % TR
+    if mpad:
+        cen_s = jnp.concatenate(
+            [cen_s, jnp.broadcast_to(cen_s[:, -1:], (B, mpad, 3))], axis=1
+        )
+    T = (m + mpad) // TR
+    tiles = cen_s.reshape(B, T, TR, 3)
+
+    # per-center union relevance (tile-AABB tests admit seam outliers)
+    gap = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            clo[:, None, None] - tiles[..., None, :],
+            tiles[..., None, :] - chi[:, None, None],
+        ),
+    )  # (B, T, TR, nc, 3)
+    rel = jnp.any(
+        jnp.sum(gap * gap, axis=-1) < radius * radius, axis=2
+    )  # (B, T, nc)
+    k_chunks = min(k_chunks, nc)
+    count_rel = jnp.sum(rel.astype(jnp.int32), axis=-1)
+    violated = jnp.any(count_rel > k_chunks)
+
+    cidx = jnp.arange(nc, dtype=jnp.int32)
+    sc, _ = lax.top_k(jnp.where(rel, -cidx, jnp.int32(NO_HIT)), k_chunks)
+    chunk_ids = jnp.where(sc == NO_HIT, nc - 1, -sc)  # (B, T, k_chunks)
+
+    def fast(_):
+        # pad tile count to a multiple of GT (kernel processes GT at once)
+        tpad = (-T) % GT
+        cids_p = chunk_ids
+        tiles_p = tiles
+        if tpad:
+            cids_p = jnp.concatenate(
+                [cids_p, jnp.broadcast_to(
+                    cids_p[:, -1:], (B, tpad, k_chunks))], axis=1
+            )
+            tiles_p = jnp.concatenate(
+                [tiles_p, jnp.broadcast_to(
+                    tiles_p[:, -1:], (B, tpad, TR, 3))], axis=1
+            )
+        Tp = T + tpad
+        G = Tp // GT
+        P2 = B * G
+
+        flat = cids_p.reshape(B, Tp * k_chunks)
+        gx = _onehot_gather(flat, cxc, nc)
+        gy = _onehot_gather(flat, cyc, nc)
+        gz = _onehot_gather(flat, czc, nc)
+        gid = jnp.round(
+            _onehot_gather(flat, idc.astype(jnp.float32), nc)
+        ).astype(jnp.int32)
+
+        def group(a):  # (B, Tp*k, C) -> (P2, k, GT, C)
+            return (
+                a.reshape(B, G, GT, k_chunks, C)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(P2, k_chunks, GT, C)
+            )
+
+        coords = jnp.concatenate(
+            [group(gx), group(gy), group(gz)], axis=1
+        )  # (P2, 3k, GT, C)
+        gids = group(gid)
+        # kernel rows are r*GT + tile (pltpu.repeat tiles rather than
+        # blocks, so the chunk row for tile t lands on rows {t, GT+t, ...})
+        cen_b = jnp.broadcast_to(
+            tiles_p.reshape(B, G, GT, TR, 3)
+            .transpose(0, 1, 4, 3, 2)  # (B, G, 3, TR, GT)
+            .reshape(B, G, 3 * TR * GT, 1),
+            (B, G, 3 * TR * GT, C),
+        ).reshape(P2, 3 * TR * GT, C)
+        out = ball_query_select_pallas(
+            float(radius), nsample, coords, gids, cen_b,
+            k_chunks=k_chunks, interpret=interpret,
+        )
+        idx_sorted = (
+            out.reshape(B, G, TR, GT, C)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, Tp * TR, C)[:, :m, :nsample]
+        )
+        inv = jnp.argsort(corder, axis=1)
+        return jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
+
+    def full(_):
+        idx, _nf = _ball_query_scan(radius, nsample, xyz, new_xyz)
+        return idx
+
+    return lax.stop_gradient(lax.cond(violated, full, fast, None))
+
+
 @partial(
     jax.jit,
     static_argnums=(0, 1),
@@ -423,6 +580,17 @@ def ball_query(
         (B, m, nsample) int32 indices into N. Non-differentiable.
     """
     N, m = xyz.shape[1], new_xyz.shape[1]
+    if (
+        jax.default_backend() == "tpu"
+        and N >= 16384
+        and m >= 64
+        and nsample <= 128
+    ):
+        # production sa1 path: Pallas selection kernel over Hilbert-pruned
+        # tiles (exact; self-falls-back to the full sweep when pruning
+        # budgets are exceeded)
+        return _ball_query_pruned_pallas(float(radius), nsample, xyz,
+                                         new_xyz)
     if prune_threshold and N >= prune_threshold and m >= center_tile:
         return _ball_query_pruned(
             float(radius), nsample, xyz, new_xyz,

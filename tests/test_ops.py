@@ -326,3 +326,40 @@ def test_fps_pallas_multi_tile_batches():
         got = np.asarray(furthest_point_sample_pallas(
             jnp.asarray(xyz), 64, interpret=True, batch_tile=bt))
         np.testing.assert_array_equal(want, got, err_msg=f"tile {bt}")
+
+
+def test_ball_query_pallas_pruned_exact():
+    """The Pallas selection kernel (interpret mode) must match the direct
+    sweep bit-exactly through the full pruned pipeline: clustered scenes,
+    uniform-random scenes, empty centers, and the forced fallback."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from butd_detr_tpu.ops.pointcloud import (
+        _ball_query_pruned_pallas,
+        _ball_query_scan,
+    )
+
+    rng = np.random.default_rng(23)
+    B, n, m = 2, 4000, 256
+
+    def check(xyz, cen, r, ns, kc=64):
+        ref, _ = _ball_query_scan(r, ns, jnp.asarray(xyz), jnp.asarray(cen))
+        got = _ball_query_pruned_pallas(
+            r, ns, jnp.asarray(xyz), jnp.asarray(cen),
+            k_chunks=kc, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    xyz = _clustered_scene(rng, n, B)
+    ci = rng.integers(0, xyz.shape[1], (B, m))
+    cen = np.take_along_axis(xyz, ci[..., None], 1)
+    check(xyz, cen, 0.2, 64)
+    check(xyz, cen, 0.4, 32)
+    check(xyz, cen, 0.2, 64, kc=2)   # forced fallback
+    far = cen.copy()
+    far[:, ::3] += 50.0
+    check(xyz, far, 0.2, 64)
+    rand = rng.uniform(0, 4, (B, n, 3)).astype(np.float32)
+    rc = np.take_along_axis(rand, rng.integers(0, n, (B, m))[..., None], 1)
+    check(rand, rc, 0.2, 64)
