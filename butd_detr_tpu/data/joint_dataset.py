@@ -446,9 +446,23 @@ class JointGroundingDataset:
             )
         return np.asarray(self._multiview_data[pid][scan_id])
 
-    def _get_target_boxes(self, anno: Dict, scan, n_points: int, rng):
+    @staticmethod
+    def _object_bbox(scan, object_id: int, pc: np.ndarray) -> np.ndarray:
+        """AABB [min, max] of one object's points in the AUGMENTED cloud.
+
+        The reference re-assigns `scan.pc = pc` after augmentation
+        (joint_det_dataset.py:441-442) so `scan.get_object_bbox` (→
+        visual_data_handlers.py:224-230, min/max over `self.pc[points]`)
+        yields boxes in the augmented frame. We keep `Scan` immutable and
+        thread the augmented cloud in explicitly instead."""
+        pts = pc[scan.three_d_objects[object_id]["points"], :3]
+        return np.concatenate([pts.min(axis=0), pts.max(axis=0)])
+
+    def _get_target_boxes(self, anno: Dict, scan, pc: np.ndarray, rng):
         """GT boxes + per-point instance labels
-        (joint_det_dataset.py:496-522)."""
+        (joint_det_dataset.py:496-522). `pc` is the augmented xyz cloud;
+        boxes are AABBs of the augmented object points, matching the
+        reference (see _object_bbox)."""
         bboxes = np.zeros((MAX_NUM_OBJ, 6))
         if isinstance(anno["target_id"], list):
             tids = anno["target_id"]
@@ -456,13 +470,13 @@ class JointGroundingDataset:
             tids = [anno["target_id"]]
             if self.detect_intermediate:
                 tids = tids + list(anno.get("anchor_ids", []))
-        point_instance_label = -np.ones(n_points)
+        point_instance_label = -np.ones(len(pc))
         for t, tid in enumerate(tids):
             point_instance_label[scan.three_d_objects[tid]["points"]] = t
 
         if tids:
             corner = np.stack(
-                [scan.get_object_bbox(tid) for tid in tids]
+                [self._object_bbox(scan, tid, pc) for tid in tids]
             )  # (n, 6) min/max
             bboxes[: len(tids)] = np.concatenate(
                 [(corner[:, :3] + corner[:, 3:]) / 2,
@@ -478,8 +492,9 @@ class JointGroundingDataset:
         box_label_mask[: len(tids)] = 1
         return bboxes, box_label_mask, point_instance_label, tids
 
-    def _get_scene_objects(self, scan, rng):
-        """All annotated scene boxes (joint_det_dataset.py:524-561)."""
+    def _get_scene_objects(self, scan, pc: np.ndarray, rng):
+        """All annotated scene boxes (joint_det_dataset.py:524-561), AABBs
+        in the augmented frame like the reference (see _object_bbox)."""
         n = len(scan.three_d_objects)
         keep_ = np.array([
             self.label_map[scan.get_object_instance_label(ind)]
@@ -501,7 +516,7 @@ class JointGroundingDataset:
 
         all_bboxes = np.zeros((MAX_NUM_OBJ, 6))
         corner = np.stack(
-            [scan.get_object_bbox(k) for k in range(len(keep_))]
+            [self._object_bbox(scan, k, pc) for k in range(len(keep_))]
         )
         all_bboxes[: len(keep_)] = np.concatenate(
             [(corner[:, :3] + corner[:, 3:]) / 2,
@@ -603,7 +618,7 @@ class JointGroundingDataset:
             anno, scan, rng
         )
         gt_bboxes, box_label_mask, point_instance_label, tids = (
-            self._get_target_boxes(anno, scan, len(raw_pc), rng)
+            self._get_target_boxes(anno, scan, raw_pc, rng)
         )
 
         # positive map: span-predictor output for grounding datasets,
@@ -626,7 +641,7 @@ class JointGroundingDataset:
             positive_map[: len(pm)] = pm
 
         class_ids, all_bboxes, all_bbox_label_mask = self._get_scene_objects(
-            scan, rng
+            scan, raw_pc, rng
         )
 
         if self.butd:

@@ -206,6 +206,47 @@ def test_sr3d_dataset_sample_schema(fake_root, scans):
     assert (gt_s > 0).all() and (gt_s < 2).all()
 
 
+def test_gt_boxes_live_in_augmented_frame(fake_root, scans):
+    """Regression for the r1 training-correctness bug: GT/scene boxes must
+    be AABBs of the AUGMENTED object points (reference re-assigns
+    scan.pc = pc, joint_det_dataset.py:441-442, before get_object_bbox)."""
+    ds = dataset(fake_root, scans)
+    assert ds.augment
+    anno = dict(ds.annos[0])
+    scan = ds.scans[anno["scan_id"]]
+    rng = np.random.RandomState(3)
+    _, raw_pc, augs, _ = ds._get_pc(anno, scan, rng)
+    assert augs  # augmentation record non-empty on the train split
+    tid = anno["target_id"]
+    pts = raw_pc[scan.three_d_objects[tid]["points"], :3]
+    bbox = ds._object_bbox(scan, tid, raw_pc)
+    np.testing.assert_allclose(bbox[:3], pts.min(axis=0))
+    np.testing.assert_allclose(bbox[3:], pts.max(axis=0))
+    # and it is NOT the un-augmented box
+    assert not np.allclose(bbox, scan.get_object_bbox(tid), atol=1e-3)
+
+
+def test_augmented_sample_box_contains_instance_points(fake_root, scans):
+    """End-to-end: every GT object's points (per point_instance_label) lie
+    inside its center_label/size_gts box, up to the reference's own ±5%
+    box jitter (joint_det_dataset.py:516)."""
+    ds = dataset(fake_root, scans)
+    for seed in range(4):
+        s = ds.get(0, np.random.RandomState(seed))
+        pil = s["point_instance_label"]
+        k = int(s["box_label_mask"].sum())
+        assert k >= 1
+        for t in range(k):
+            pts = s["point_clouds"][pil == t, :3]
+            assert len(pts) > 0
+            c, sz = s["center_label"][t], s["size_gts"][t]
+            # jitter scales all 6 box dims by U[0.95, 1.05]; bound the
+            # displacement it can cause relative to the true AABB
+            slack = 0.06 * (np.abs(c) + sz) + 1e-6
+            assert (pts >= c - sz / 2 - slack).all(), (seed, t)
+            assert (pts <= c + sz / 2 + slack).all(), (seed, t)
+
+
 def test_use_color_and_height(fake_root, scans):
     ds = dataset(fake_root, scans, use_color=True, use_height=True)
     s = ds.get(0, np.random.RandomState(0))
