@@ -76,6 +76,10 @@ class Config:
     pp_checkpoint: Optional[str] = None
     reduce_lr: bool = False
 
+    # Pretrained-init sources (reference hardcodes these: bdetr.py:73-92)
+    roberta_checkpoint: Optional[str] = None  # None = HF local cache
+    class_embeddings_path: Optional[str] = None  # None = data_root/class_embeddings3d.npy
+
     # ---- TPU-framework additions (no reference equivalent)
     max_text_len: int = 64  # fixed token length (host-side tokenization)
     num_points: int = 50000

@@ -165,6 +165,20 @@ class TrainTester:
 
         return roberta_base_config()
 
+    def init_pretrained(self, state):
+        """From-scratch initialization from pretrained sources, matching
+        the reference (bdetr.py:60-94): frozen roberta-base trunk,
+        GroupFree PointNet++ via --pp_checkpoint, class_embeddings3d.npy
+        table. A later checkpoint restore overwrites all of this (same as
+        the reference's load order, main_utils.py:286-330)."""
+        from butd_detr_tpu.train.pretrained import apply_pretrained_init
+
+        state, _ = apply_pretrained_init(
+            state, self.cfg, logger=self.logger,
+            roberta_config=self._roberta_config(),
+        )
+        return state
+
     def prefixes(self) -> List[str]:
         cfg = self.cfg
         if cfg.num_decoder_layers > 0:
@@ -192,6 +206,7 @@ class TrainTester:
         t0 = time.time()
         state = init_state(model, optimizer, sample, rng)
         self.logger.info(f"init_state: {time.time() - t0:.1f}s")
+        state = self.init_pretrained(state)
 
         train_step = shard_train_step(
             make_train_step(model, cfg, optimizer), mesh
