@@ -639,6 +639,19 @@ class JointGroundingDataset:
             positive_map = np.zeros((MAX_NUM_OBJ, NUM_BINS), np.float32)
             pm = np.asarray(anno["pred_pos_map"]).reshape(-1, NUM_BINS)
             positive_map[: len(pm)] = pm
+        # Truncation guard: the model only sees max_text_len tokens
+        # (host-side tokenization; the reference tokenizes unbounded
+        # in-forward, bdetr.py:164-167). A positive bin past that length
+        # would silently drop out of the soft-token and contrastive losses
+        # and of cross-attention — fail loudly instead.
+        overflow = positive_map[:, self.max_text_len:].sum()
+        if overflow > 0:
+            raise ValueError(
+                f"positive-map span past max_text_len={self.max_text_len} "
+                f"for scan {anno['scan_id']} (dataset {anno['dataset']}, "
+                f"utterance {anno['utterance'][:80]!r}...): raise "
+                "--max_text_len"
+            )
 
         class_ids, all_bboxes, all_bbox_label_mask = self._get_scene_objects(
             scan, raw_pc, rng

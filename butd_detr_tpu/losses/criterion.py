@@ -32,6 +32,11 @@ class CriterionConfig(NamedTuple):
     cost_bbox: float = 0.0
     cost_giou: float = 2.0
     use_contrastive_align: bool = True
+    # Matcher class-cost branch (reference HungarianMatcher soft_token,
+    # losses.py:290-302, set from --use_soft_token_loss at
+    # main_utils.py:243). False = DETR-style -prob[:, tgt_ids] using the
+    # targets' sem_cls_label ids.
+    use_soft_token: bool = True
     # True (default): pad tokens are masked out of the contrastive
     # normalizer (principled fixed-shape behavior). False: reproduce the
     # reference exactly, where pad logits inside the padded window
@@ -263,6 +268,8 @@ def set_criterion_losses(
             targets["positive_map"], targets["boxes"],
             targets["box_label_mask"],
             cfg.cost_class, cfg.cost_bbox, cfg.cost_giou,
+            tgt_labels=None if getattr(cfg, "use_soft_token", True)
+            else targets["labels"],
         )
     losses = {
         "loss_ce": loss_labels_st(
@@ -310,6 +317,8 @@ def compute_hungarian_loss(
         "box_label_mask": end_points["box_label_mask"],
         "text_mask": end_points["text_mask"],
     }
+    if "sem_cls_label" in end_points:
+        targets["labels"] = end_points["sem_cls_label"]
     # global matched-box count (== DDP all_reduce / world_size semantics)
     num_boxes = jnp.maximum(
         jnp.sum(targets["box_label_mask"].astype(jnp.float32)), 1.0
@@ -343,6 +352,8 @@ def compute_hungarian_loss(
         tile(targets["boxes"]),
         tile(targets["box_label_mask"]),
         cfg.cost_class, cfg.cost_bbox, cfg.cost_giou,
+        tgt_labels=None if getattr(cfg, "use_soft_token", True)
+        else tile(targets["labels"]),
     ).reshape(P, B, -1)
 
     loss_ce = loss_bbox = loss_giou = loss_contr = 0.0

@@ -150,7 +150,7 @@ def batched_linear_sum_assignment(cost, n_valid=None):
     return jax.vmap(_lsa_single)(cost, n_valid.astype(jnp.int32))
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(5, 6, 7))
 def matcher_cost_matrix(
     pred_logits,  # (B, Q, C)
     pred_boxes,  # (B, Q, 6) cxcyczwhd
@@ -160,12 +160,23 @@ def matcher_cost_matrix(
     cost_class: float = 1.0,
     cost_bbox: float = 0.0,
     cost_giou: float = 2.0,
+    tgt_labels=None,  # (B, G) int — enables the non-soft-token cost
 ):
-    """Soft-token matching cost (reference HungarianMatcher.forward,
-    losses.py:279-318, instantiated with weights (1, 0, 2) at
-    main_utils.py:243). Invalid target columns get constant 0 cost."""
+    """Matching cost (reference HungarianMatcher.forward, losses.py:279-318,
+    instantiated with weights (1, 0, 2) at main_utils.py:243). Invalid
+    target columns get constant 0 cost.
+
+    Class cost: soft-token (-prob @ positive_map^T, losses.py:290-296) by
+    default; when `tgt_labels` is given, the DETR-style
+    `-prob[:, tgt_ids]` branch (losses.py:297-302, soft_token=False)."""
     prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
-    cost_cls = -jnp.einsum("bqc,bgc->bqg", prob, positive_map)
+    if tgt_labels is not None:
+        # cost[b, q, g] = -prob[b, q, tgt_labels[b, g]]
+        cost_cls = -jnp.take_along_axis(
+            prob, tgt_labels[:, None, :].astype(jnp.int32), axis=-1
+        )
+    else:
+        cost_cls = -jnp.einsum("bqc,bgc->bqg", prob, positive_map)
     cost_l1 = jnp.sum(
         jnp.abs(pred_boxes[:, :, None, :] - gt_boxes[:, None, :, :]), axis=-1
     )
@@ -181,12 +192,14 @@ def matcher_cost_matrix(
 def hungarian_match(
     pred_logits, pred_boxes, positive_map, gt_boxes, box_label_mask,
     cost_class: float = 1.0, cost_bbox: float = 0.0, cost_giou: float = 2.0,
+    tgt_labels=None,
 ):
     """Returns assignment (B, G) int32: query index matched to each target
-    (valid for padded targets too, but those are masked downstream)."""
+    (valid for padded targets too, but those are masked downstream).
+    `tgt_labels` switches the class cost to the non-soft-token branch."""
     C = matcher_cost_matrix(
         pred_logits, pred_boxes, positive_map, gt_boxes, box_label_mask,
-        cost_class, cost_bbox, cost_giou,
+        cost_class, cost_bbox, cost_giou, tgt_labels,
     )
     # NaN costs would otherwise corrupt the comparisons inside the solver;
     # map them to a large finite value (training diverged anyway if it

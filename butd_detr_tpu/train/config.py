@@ -81,14 +81,28 @@ class Config:
     class_embeddings_path: Optional[str] = None  # None = data_root/class_embeddings3d.npy
 
     # ---- TPU-framework additions (no reference equivalent)
-    max_text_len: int = 64  # fixed token length (host-side tokenization)
+    # Fixed token length (host-side tokenization). The reference tokenizes
+    # unbounded in-forward (bdetr.py:164-167); joint_det random prompts mix
+    # up to 20 multi-word class names and can exceed 64 RoBERTa tokens, so
+    # joint_det configs are bumped to 128 in __post_init__ (a positive-map
+    # span past this length would silently vanish from the contrastive
+    # loss; the dataset also fails loudly on any overflow).
+    max_text_len: int = 64
     num_points: int = 50000
     max_num_obj: int = 132  # MAX_NUM_OBJ (joint_det_dataset.py:33)
     max_det_boxes: int = 132
     dp: Optional[int] = None  # data-parallel mesh size (None = all devices)
     mp: int = 1
+    # jax.profiler tracing: capture `profile_steps` steady-state train
+    # steps into profile_dir (TensorBoard-viewable), once per run
+    profile_dir: Optional[str] = None
+    profile_steps: int = 5
     use_bf16: bool = False
     freeze_text_encoder: bool = True
+
+    def __post_init__(self):
+        if self.joint_det and self.max_text_len < 128:
+            self.max_text_len = 128
 
     @property
     def input_feature_dim(self) -> int:

@@ -262,11 +262,36 @@ class TrainTester:
         cfg = self.cfg
         stat: Dict[str, float] = {}
         count = 0
+        # profiler window: trace `profile_steps` steady-state steps (skip
+        # step 0, which includes compilation), once per run
+        profile_at = (
+            1 if (cfg.profile_dir and not getattr(self, "_profiled", False))
+            else None
+        )
+        tracing = False
         for batch_idx, batch in enumerate(train_loader):
+            if profile_at is not None and batch_idx == profile_at:
+                jax.profiler.start_trace(cfg.profile_dir)
+                tracing = True
             sbatch = shard_batch(
                 mesh, {k: batch[k] for k in (*INPUT_KEYS, *TARGET_KEYS)}
             )
             state, metrics = train_step(state, sbatch, rng)
+            if (
+                tracing
+                and batch_idx >= profile_at + cfg.profile_steps - 1
+            ):
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics
+                )
+                jax.profiler.stop_trace()
+                tracing = False
+                self._profiled = True
+                profile_at = None
+                self.logger.info(
+                    f"profiler trace ({cfg.profile_steps} steps) written "
+                    f"to {cfg.profile_dir}"
+                )
             count += 1
             if (batch_idx + 1) % cfg.print_freq == 0:
                 metrics = jax.device_get(metrics)  # sync once per window
@@ -279,6 +304,9 @@ class TrainTester:
                     )
                 )
                 stat = {}
+        if tracing:  # epoch shorter than the profile window
+            jax.profiler.stop_trace()
+            self._profiled = True
         return state
 
     def _eval_batches(self, test_loader, eval_step, state, mesh):

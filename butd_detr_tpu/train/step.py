@@ -91,6 +91,7 @@ def criterion_config(cfg: Config) -> CriterionConfig:
         cost_bbox=0.0,
         cost_giou=2.0,
         use_contrastive_align=cfg.use_contrastive_align,
+        use_soft_token=cfg.use_soft_token_loss,
     )
 
 

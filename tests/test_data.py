@@ -277,6 +277,36 @@ def test_scannet_detection_prompts(fake_root, scans):
     assert s["positive_map"][:3].sum() > 0
 
 
+def test_text_len_overflow_fails_loudly(fake_root, scans):
+    """A positive-map span past max_text_len must raise (it would silently
+    vanish from the contrastive loss and cross-attention otherwise), and a
+    large enough budget keeps every span."""
+    ds_small = dataset(
+        fake_root, scans, dataset_dict={"sr3d": 1, "scannet": 2},
+        max_text_len=8,
+    )
+    scannet_idx = next(
+        i for i, a in enumerate(ds_small.annos) if a["dataset"] == "scannet"
+    )
+    with pytest.raises(ValueError, match="max_text_len"):
+        ds_small.get(scannet_idx, np.random.RandomState(0))
+
+    ds_big = dataset(
+        fake_root, scans, dataset_dict={"sr3d": 1, "scannet": 2},
+        max_text_len=256,
+    )
+    s = ds_big.get(scannet_idx, np.random.RandomState(0))
+    assert s["positive_map"].sum() > 0
+
+
+def test_config_joint_det_bumps_text_len():
+    from butd_detr_tpu.train.config import Config
+
+    assert Config().max_text_len == 64
+    assert Config(joint_det=True).max_text_len == 128
+    assert Config(joint_det=True, max_text_len=192).max_text_len == 192
+
+
 def test_val_split_no_augment(fake_root, scans):
     ds = dataset(fake_root, scans, split="val", test_dataset="sr3d")
     s1 = ds.get(0, np.random.RandomState(0))

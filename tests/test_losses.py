@@ -39,6 +39,54 @@ def test_lsa_matches_scipy_cost(G, Q):
         assert len(set(got[b].tolist())) == G
 
 
+def test_hungarian_match_non_soft_token_vs_scipy():
+    """The soft_token=False class cost (-prob[:, tgt_ids], reference
+    losses.py:297-302): the full cost matrix and assignment must match a
+    numpy+scipy reimplementation of the reference branch."""
+    from butd_detr_tpu.losses.matcher import matcher_cost_matrix
+
+    rng = np.random.RandomState(4)
+    B, Q, G, C = 2, 10, 4, 16
+    logits = rng.randn(B, Q, C).astype(np.float32)
+    boxes = np.abs(rng.randn(B, Q, 6)).astype(np.float32) + 0.1
+    gt = np.abs(rng.randn(B, G, 6)).astype(np.float32) + 0.1
+    labels = rng.randint(0, C, (B, G)).astype(np.int64)
+    mask = np.ones((B, G), np.float32)
+    pmap = np.zeros((B, G, C), np.float32)  # unused on this branch
+
+    C_got = np.asarray(matcher_cost_matrix(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(pmap),
+        jnp.asarray(gt), jnp.asarray(mask), 1.0, 5.0, 2.0,
+        jnp.asarray(labels),
+    ))
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    a_got = np.asarray(hungarian_match(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(pmap),
+        jnp.asarray(gt), jnp.asarray(mask), 1.0, 5.0, 2.0,
+        tgt_labels=jnp.asarray(labels),
+    ))
+    for b in range(B):
+        rows, cols = linear_sum_assignment(C_got[b])
+        want_total = C_got[b][rows, cols].sum()
+        got_total = C_got[b][a_got[b], np.arange(G)].sum()
+        np.testing.assert_allclose(got_total, want_total, rtol=1e-5)
+    # and the class term itself is exactly -prob[:, tgt_ids]
+    C_cls_only = np.asarray(matcher_cost_matrix(
+        jnp.asarray(logits), jnp.asarray(boxes), jnp.asarray(pmap),
+        jnp.asarray(gt), jnp.asarray(mask), 1.0, 0.0, 0.0,
+        jnp.asarray(labels),
+    ))
+    for b in range(B):
+        prob = softmax(logits[b])
+        np.testing.assert_allclose(
+            C_cls_only[b], -prob[:, labels[b]], rtol=1e-5, atol=1e-6
+        )
+
+
 def test_lsa_integer_costs_exact_assignment():
     rng = np.random.RandomState(0)
     cost = rng.randint(0, 50, (2, 6, 9)).astype(np.float32)
