@@ -24,9 +24,29 @@ import numpy as np
 A100_SCENES_PER_SEC = 34.0
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: the flagship train-step compile is
+    ~4-6 min over the tunnel; cache it across bench runs (same recipe as
+    tests/conftest.py)."""
+    import tempfile
+
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "butd_detr_tpu_jax_cache"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from butd_detr_tpu.data.synthetic import synthetic_batch
     from butd_detr_tpu.lang import roberta_base_config

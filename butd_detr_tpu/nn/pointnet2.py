@@ -16,6 +16,7 @@ from butd_detr_tpu.nn.mlp import SharedMLP
 from butd_detr_tpu.ops import (
     ball_query,
     furthest_point_sample,
+    furthest_point_sample_with_xyz,
     gather_points,
     group_points,
     three_interpolate,
@@ -80,8 +81,11 @@ class PointnetSAModuleVotes(nn.Module):
         inds (B, npoint) int32).
         """
         if inds is None:
-            inds = furthest_point_sample(xyz, self.npoint)
-        new_xyz = gather_points(xyz, inds)
+            # fused FPS+coords: the Pallas kernel emits the sampled xyz,
+            # skipping a separate gather (ops/pointcloud.py)
+            inds, new_xyz = furthest_point_sample_with_xyz(xyz, self.npoint)
+        else:
+            new_xyz = gather_points(xyz, inds)
 
         grouped, grouped_xyz = QueryAndGroup(
             self.radius, self.nsample,

@@ -1,9 +1,13 @@
 """Point-cloud ops: the TPU-native replacement for the reference CUDA extension."""
 
-from butd_detr_tpu.ops.pallas_fps import furthest_point_sample_pallas
+from butd_detr_tpu.ops.pallas_fps import (
+    furthest_point_sample_pallas,
+    furthest_point_sample_with_xyz_pallas,
+)
 from butd_detr_tpu.ops.pointcloud import (
     ball_query,
     furthest_point_sample,
+    furthest_point_sample_with_xyz,
     furthest_point_sample_xla,
     gather_points,
     group_points,
@@ -15,6 +19,8 @@ __all__ = [
     "ball_query",
     "furthest_point_sample",
     "furthest_point_sample_pallas",
+    "furthest_point_sample_with_xyz",
+    "furthest_point_sample_with_xyz_pallas",
     "furthest_point_sample_xla",
     "gather_points",
     "group_points",

@@ -39,21 +39,28 @@ import jax.numpy as jnp
 from jax import lax
 
 LANES = 128
-MAX_BATCH_TILE = 8  # VMEM budget at 50k pts: 8 x (xyz3, temp, flat) ~ 11 MB
 
 
 def _batch_tile(B: int, R: int) -> int:
-    """Largest batch tile fitting the ~13 MB VMEM working set.
+    """Batch tile: largest fit under the VMEM budget, then BALANCED over
+    the resulting grid.
 
-    Per batch row the kernel keeps xyz3 (3R rows), temp (R) and flat (R)
-    f32 lane-tiles resident: 5*R*128*4 bytes. Small tiers (N <= 2048)
-    fit the whole batch in one program, which matters because the
-    sequential selection loop is latency-bound — fewer grid programs =
-    fewer serialized loops.
+    Per batch row the kernel keeps 5 R-row f32 lane-tiles PERSISTENT
+    (xyz3 = 3 rows, temp, flat); the loop transients (diff/sq, tree
+    temporaries) are buffer-reused by Mosaic and covered by budgeting the
+    persistent set against 13 MB of the 16 MB cap (hardware-validated at
+    B=24, N=50k — see PERF.md). Given the max fit, the tile is shrunk to
+    balance the grid: the programs serialize, so wall time is
+    n_programs x slowest tile — at B=24, R=391 (fit 13) the balanced
+    12+12 grid measures 30.8 ms vs 33.0 ms for 13+11. Small tiers
+    (N <= 2048) fit the whole batch in one program.
     """
     per_row = 5 * R * LANES * 4
-    fit = max(1, (13 * 2**20) // per_row)
-    return min(B, fit, 64)
+    fit = max(1, min((13 * 2**20) // per_row, 64))
+    if fit >= B:
+        return B
+    n_programs = -(-B // fit)  # ceil
+    return -(-B // n_programs)  # balanced tile, same program count
 
 
 def _fps_kernel(npoint: int, xyz3_ref, out_ref):
@@ -185,3 +192,26 @@ def furthest_point_sample_pallas(
         interpret=interpret,
     )(planes)
     return lax.stop_gradient(out[:B, 0, :])
+
+
+def furthest_point_sample_with_xyz_pallas(
+    xyz: jax.Array, npoint: int, *, interpret: bool = False,
+    batch_tile: int | None = None,
+):
+    """FPS returning (inds, new_xyz == gather_points(xyz, inds)).
+
+    An in-kernel coords accumulator was tried and REJECTED (r2): the
+    (3*BB, 1, npoint) carry pushed scoped VMEM past 16 MB at the
+    production tile, and emitting coords measured ~7 ms slower than the
+    plain XLA gather it replaced (~1.5 ms at B=24). A (val, idx)
+    tournament-tree argmax was also tried and REJECTED: 34.5 ms vs the
+    v2 two-reduction form's 33.0 at tile 13 (chained-K methodology).
+    The fused API is kept so callers express the intent once and the
+    implementation can evolve.
+    """
+    from butd_detr_tpu.ops.pointcloud import gather_points
+
+    inds = furthest_point_sample_pallas(
+        xyz, npoint, interpret=interpret, batch_tile=batch_tile
+    )
+    return inds, gather_points(xyz.astype(jnp.float32), inds)

@@ -14,6 +14,7 @@ autodiff for free.
 """
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,21 @@ def furthest_point_sample(xyz: jax.Array, npoint: int) -> jax.Array:
 
         return furthest_point_sample_pallas(xyz, npoint)
     return furthest_point_sample_xla(xyz, npoint)
+
+
+def furthest_point_sample_with_xyz(xyz: jax.Array, npoint: int):
+    """FPS returning (inds, new_xyz) where new_xyz ==
+    gather_points(xyz, inds). On TPU the coordinates come straight out of
+    the Pallas kernel (it extracts them per selection step anyway),
+    skipping the separate XLA gather; elsewhere this is FPS + gather."""
+    if jax.default_backend() == "tpu":
+        from butd_detr_tpu.ops.pallas_fps import (
+            furthest_point_sample_with_xyz_pallas,
+        )
+
+        return furthest_point_sample_with_xyz_pallas(xyz, npoint)
+    inds = furthest_point_sample_xla(xyz, npoint)
+    return inds, gather_points(xyz, inds)
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -539,7 +555,7 @@ def _ball_query_pruned_pallas(
     jax.jit,
     static_argnums=(0, 1),
     static_argnames=("chunk_size", "prune_threshold", "center_tile",
-                     "k_chunks"),
+                     "k_chunks", "use_pallas"),
 )
 def ball_query(
     radius: float,
@@ -551,6 +567,7 @@ def ball_query(
     prune_threshold: int = 0,
     center_tile: int = 16,
     k_chunks: int = 160,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Fixed-radius neighbor search with first-k-in-index-order semantics.
 
@@ -563,12 +580,21 @@ def ball_query(
       * rows with no hit stay 0 (output is zero-initialized,
         ball_query.cpp:25).
 
-    With `prune_threshold` > 0, inputs with N >= prune_threshold use the
-    spatially pruned exact path (see `_ball_query_pruned`); the default 0
-    disables pruning — as measured on v5e the prep (sort + one-hot chunk
-    gathers) costs more than the scan saves, so the direct sweep is the
-    production path and the pruned path is kept as an exactness-tested
-    alternative for future tuning.
+    Backend selection (all paths are bit-identical, tests/test_ops.py):
+      * On TPU, large shapes (N >= 16384, m >= 64, nsample <= 128) default
+        to the Pallas Hilbert-pruned selection kernel
+        (`ops/pallas_ball_query.py`) — the production path; it self-falls
+        back to the full sweep via lax.cond when pruning budgets overflow.
+        `use_pallas=False` forces the XLA paths instead (for benchmarking
+        or working around a Mosaic issue); `use_pallas=True` forces the
+        kernel whenever the shape qualifies. On non-TPU backends the
+        kernel is never used.
+      * Otherwise, `prune_threshold` > 0 routes inputs with
+        N >= prune_threshold to the pure-XLA pruned path
+        (`_ball_query_pruned`); the default 0 disables it (its prep costs
+        more than the scan saves at measured shapes).
+      * The fallback is the direct chunked sweep (`_ball_query_scan`),
+        tuned by `chunk_size`.
 
     Args:
         radius: ball radius.
@@ -580,12 +606,13 @@ def ball_query(
         (B, m, nsample) int32 indices into N. Non-differentiable.
     """
     N, m = xyz.shape[1], new_xyz.shape[1]
-    if (
-        jax.default_backend() == "tpu"
-        and N >= 16384
-        and m >= 64
-        and nsample <= 128
-    ):
+    pallas_valid = (
+        jax.default_backend() == "tpu" and nsample <= 128 and m >= 8
+    )
+    if use_pallas is None:
+        # auto heuristic: the kernel wins at the large tiers
+        use_pallas = pallas_valid and N >= 16384 and m >= 64
+    if use_pallas and pallas_valid:
         # production sa1 path: Pallas selection kernel over Hilbert-pruned
         # tiles (exact; self-falls-back to the full sweep when pruning
         # budgets are exceeded)

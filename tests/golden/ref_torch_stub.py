@@ -176,7 +176,15 @@ class FakeTokenizer:
         self.vocab_size = vocab_size
 
     def word_id(self, w):
-        return 4 + (hash(w) % (self.vocab_size - 4))
+        # hashlib, not hash(): builtin str hashing is salted per process
+        # (PYTHONHASHSEED), which would silently change token ids across
+        # golden regeneration runs
+        import hashlib
+
+        h = int.from_bytes(
+            hashlib.md5(w.encode()).digest()[:4], "little"
+        )
+        return 4 + (h % (self.vocab_size - 4))
 
     def encode_words(self, text):
         return [self.word_id(w) for w in text.strip().split()]

@@ -92,11 +92,20 @@ def tiny_config(tmp_path, **kw):
 
 
 def test_train_eval_checkpoint_cycle(fake_root, tmp_path):
-    cfg = tiny_config(tmp_path, butd_cls=True)
+    cfg = tiny_config(
+        tmp_path, butd_cls=True,
+        profile_dir=str(tmp_path / "trace"), profile_steps=1,
+    )
     tt = TinyTrainTester(cfg, fake_root)
     state = tt.main()  # 1 epoch train + checkpoint + GT eval
     assert int(state.step) == 2  # 4 samples / batch 2
     assert osp.isdir(osp.join(cfg.log_dir, "ckpt_epoch_1"))
+    # jax.profiler hook wrote a TensorBoard-viewable trace
+    import glob
+
+    assert glob.glob(
+        osp.join(cfg.profile_dir, "**", "*.xplane.pb"), recursive=True
+    ), "no profiler trace written"
 
     # resume-from-checkpoint eval path
     cfg2 = tiny_config(
@@ -110,6 +119,7 @@ def test_train_eval_checkpoint_cycle(fake_root, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_grounding_eval_det_setup(fake_root, tmp_path):
     cfg = tiny_config(tmp_path, butd=True)
     tt = TinyTrainTester(cfg, fake_root)
@@ -144,6 +154,7 @@ def test_detection_token_map_simple_tokenizer():
     assert (np.diff(tokenidx) > 0).all()
 
 
+@pytest.mark.heavy
 def test_detection_eval_on_scannet_prompt(fake_root, tmp_path):
     """evaluate_one_epoch_det end-to-end: scannet test_dataset routes to
     the detection mAP path (token->class projection + NMS + VOC AP)."""

@@ -8,6 +8,8 @@ import pytest
 from butd_detr_tpu.lang import tiny_roberta_config
 from butd_detr_tpu.models import BeaUTyDETR, prediction_prefixes
 
+pytestmark = pytest.mark.heavy  # flagship-shape compiles (opt-in tier)
+
 
 def tiny_model(**kw):
     defaults = dict(

@@ -41,6 +41,13 @@ def tiny_cfg(**kw):
 
 @pytest.fixture(scope="module")
 def tiny_state():
+    """Template state via eval_shape (no forward compile: pretrained-init
+    only needs shapes/dtypes) filled with distinct random values so
+    'leaf untouched' assertions stay meaningful."""
+    import jax.numpy as jnp
+
+    from butd_detr_tpu.train.step import TrainState
+
     cfg = tiny_cfg()
     model = build_model(
         cfg, roberta_config=tiny_roberta_config(),
@@ -50,8 +57,28 @@ def tiny_state():
         batch_size=2, num_points=256, max_text_len=12, max_num_obj=8,
         max_det_boxes=8, n_true_objects=3, n_true_tokens=6, n_true_det=4,
     )
+    from butd_detr_tpu.train.step import INPUT_KEYS
+
+    inputs = {k: jnp.asarray(batch[k]) for k in INPUT_KEYS if k in batch}
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), inputs)
+    )
+    rng = np.random.default_rng(42)
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(s.dtype)
+            if np.issubdtype(s.dtype, np.floating)
+            else np.zeros(s.shape, s.dtype)
+        ),
+        shapes,
+    )
     optimizer = make_optimizer(cfg, steps_per_epoch=10)
-    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+    )
     return cfg, model, state
 
 
