@@ -95,31 +95,29 @@ def _ball_select_kernel(nsample, r2, k_chunks, coords_ref, ids_ref,
             live = jnp.where(inc_moves, 1, jnp.where(self_moves, 0, live))
         return val
 
-    def merge(carry, comp):
-        """Bitonic merge of two ascending (ROWS, C) rows -> smallest C."""
-        # reverse comp's lanes via log2(C) bit-k pair swaps (an
-        # anti-diagonal matmul would silently bf16-round ids at default
-        # precision, and tiny per-chunk matmuls are launch-latency-bound)
-        comp_rev = comp
-        k = 1
-        while k < LANES:
-            comp_rev = jnp.where(
-                (lane & k) == 0,
-                pltpu.roll(comp_rev, LANES - k, axis=1),
-                pltpu.roll(comp_rev, k, axis=1),
-            )
-            k <<= 1
-        x = jnp.concatenate([carry, comp_rev], axis=1)  # bitonic (ROWS, 2C)
+    def merge_desc(carry, comp):
+        """Merge a DESCENDING carry with an ascending compacted chunk ->
+        the smallest C values, DESCENDING.
+
+        concat(desc, asc) is a valley = bitonic, so no per-chunk lane
+        reversal is needed (the r1 kernel reversed `comp` with 7 roll
+        stages every chunk; keeping the carry descending moves that cost
+        to ONE final reversal outside the loop). Comparators are flipped
+        to produce a descending result; the smallest C land in the last
+        C lanes."""
+        x = jnp.concatenate([carry, comp], axis=1)  # bitonic (ROWS, 2C)
         d = LANES
         while d >= 1:
             up = pltpu.roll(x, 2 * LANES - d, axis=1)
             down = pltpu.roll(x, d, axis=1)
             first = (lane2 & d) == 0
-            x = jnp.where(first, jnp.minimum(x, up), jnp.maximum(x, down))
+            x = jnp.where(first, jnp.maximum(x, up), jnp.minimum(x, down))
             d //= 2
-        return x[:, :LANES]
+        return x[:, LANES:]
 
-    cap_mask = lane >= nsample  # carry capacity is exactly nsample
+    # descending carry: the nsample kept ids live in the LAST lanes;
+    # everything before them is BIGKEY
+    cap_mask = lane < LANES - nsample
 
     def body(k, state):
         carry, nfound = state
@@ -134,7 +132,7 @@ def _ball_select_kernel(nsample, r2, k_chunks, coords_ref, ids_ref,
         hit = d2 < r2
         ids = tile_to_rows(ids_ref[pl.ds(k, 1), :, :][0])
         comp = compact(hit, ids)
-        carry = merge(carry, comp)
+        carry = merge_desc(carry, comp)
         carry = jnp.where(cap_mask, BIGKEY, carry)
         nfound = nfound + jnp.sum(hit.astype(jnp.int32), axis=1,
                                   keepdims=True)
@@ -143,6 +141,16 @@ def _ball_select_kernel(nsample, r2, k_chunks, coords_ref, ids_ref,
     carry0 = jnp.full((ROWS, LANES), BIGKEY, jnp.int32)
     nf0 = jnp.zeros((ROWS, 1), jnp.int32)
     carry, nfound = lax.fori_loop(0, k_chunks, body, (carry0, nf0))
+
+    # one reversal: descending carry -> ascending output lanes
+    k = 1
+    while k < LANES:
+        carry = jnp.where(
+            (lane & k) == 0,
+            pltpu.roll(carry, LANES - k, axis=1),
+            pltpu.roll(carry, k, axis=1),
+        )
+        k <<= 1
 
     count = jnp.minimum(nfound, nsample)  # (ROWS, 1)
     first = jnp.where(count > 0, carry[:, 0:1], 0)

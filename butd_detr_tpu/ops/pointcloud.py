@@ -480,75 +480,96 @@ def _ball_query_pruned_pallas(
         jnp.sum(gap * gap, axis=-1) < radius * radius, axis=2
     )  # (B, T, nc)
     k_chunks = min(k_chunks, nc)
+    k_small = min(40, k_chunks)  # tight tier: p99 relevance is ~30-35
     count_rel = jnp.sum(rel.astype(jnp.int32), axis=-1)
-    violated = jnp.any(count_rel > k_chunks)
+    count_max = jnp.max(count_rel)
 
     cidx = jnp.arange(nc, dtype=jnp.int32)
     sc, _ = lax.top_k(jnp.where(rel, -cidx, jnp.int32(NO_HIT)), k_chunks)
     chunk_ids = jnp.where(sc == NO_HIT, nc - 1, -sc)  # (B, T, k_chunks)
+    # top_k(-cidx) descending == relevant chunks in ascending order, so
+    # the first k_small entries ARE the k_small-tier selection
+    inv = jnp.argsort(corder, axis=1)
 
-    def fast(_):
-        # pad tile count to a multiple of GT (kernel processes GT at once)
-        tpad = (-T) % GT
-        cids_p = chunk_ids
-        tiles_p = tiles
-        if tpad:
-            cids_p = jnp.concatenate(
-                [cids_p, jnp.broadcast_to(
-                    cids_p[:, -1:], (B, tpad, k_chunks))], axis=1
+    # pad tile count to a multiple of GT (kernel processes GT at once)
+    tpad = (-T) % GT
+    cids_p = chunk_ids
+    tiles_p = tiles
+    if tpad:
+        cids_p = jnp.concatenate(
+            [cids_p, jnp.broadcast_to(
+                cids_p[:, -1:], (B, tpad, k_chunks))], axis=1
+        )
+        tiles_p = jnp.concatenate(
+            [tiles_p, jnp.broadcast_to(
+                tiles_p[:, -1:], (B, tpad, TR, 3))], axis=1
+        )
+    Tp = T + tpad
+    G = Tp // GT
+    P2 = B * G
+    # kernel rows are r*GT + tile (pltpu.repeat tiles rather than
+    # blocks, so the chunk row for tile t lands on rows {t, GT+t, ...})
+    cen_b = jnp.broadcast_to(
+        tiles_p.reshape(B, G, GT, TR, 3)
+        .transpose(0, 1, 4, 3, 2)  # (B, G, 3, TR, GT)
+        .reshape(B, G, 3 * TR * GT, 1),
+        (B, G, 3 * TR * GT, C),
+    ).reshape(P2, 3 * TR * GT, C)
+
+    def make_fast(k):
+        """Kernel launch at chunk budget k. Kernel time is linear in k,
+        so the common case (every tile's relevance fits k_small) runs a
+        ~40% shorter chunk loop; the k_chunks tier only triggers when
+        some tile needs more, and the full sweep only on overflow."""
+
+        def fast(_):
+            flat = cids_p[:, :, :k].reshape(B, Tp * k)
+            gx = _onehot_gather(flat, cxc, nc)
+            gy = _onehot_gather(flat, cyc, nc)
+            gz = _onehot_gather(flat, czc, nc)
+            gid = jnp.round(
+                _onehot_gather(flat, idc.astype(jnp.float32), nc)
+            ).astype(jnp.int32)
+
+            def group(a):  # (B, Tp*k, C) -> (P2, k, GT, C)
+                return (
+                    a.reshape(B, G, GT, k, C)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(P2, k, GT, C)
+                )
+
+            coords = jnp.concatenate(
+                [group(gx), group(gy), group(gz)], axis=1
+            )  # (P2, 3k, GT, C)
+            gids = group(gid)
+            out = ball_query_select_pallas(
+                float(radius), nsample, coords, gids, cen_b,
+                k_chunks=k, interpret=interpret,
             )
-            tiles_p = jnp.concatenate(
-                [tiles_p, jnp.broadcast_to(
-                    tiles_p[:, -1:], (B, tpad, TR, 3))], axis=1
-            )
-        Tp = T + tpad
-        G = Tp // GT
-        P2 = B * G
-
-        flat = cids_p.reshape(B, Tp * k_chunks)
-        gx = _onehot_gather(flat, cxc, nc)
-        gy = _onehot_gather(flat, cyc, nc)
-        gz = _onehot_gather(flat, czc, nc)
-        gid = jnp.round(
-            _onehot_gather(flat, idc.astype(jnp.float32), nc)
-        ).astype(jnp.int32)
-
-        def group(a):  # (B, Tp*k, C) -> (P2, k, GT, C)
-            return (
-                a.reshape(B, G, GT, k_chunks, C)
+            idx_sorted = (
+                out.reshape(B, G, TR, GT, C)
                 .transpose(0, 1, 3, 2, 4)
-                .reshape(P2, k_chunks, GT, C)
+                .reshape(B, Tp * TR, C)[:, :m, :nsample]
             )
+            return jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
 
-        coords = jnp.concatenate(
-            [group(gx), group(gy), group(gz)], axis=1
-        )  # (P2, 3k, GT, C)
-        gids = group(gid)
-        # kernel rows are r*GT + tile (pltpu.repeat tiles rather than
-        # blocks, so the chunk row for tile t lands on rows {t, GT+t, ...})
-        cen_b = jnp.broadcast_to(
-            tiles_p.reshape(B, G, GT, TR, 3)
-            .transpose(0, 1, 4, 3, 2)  # (B, G, 3, TR, GT)
-            .reshape(B, G, 3 * TR * GT, 1),
-            (B, G, 3 * TR * GT, C),
-        ).reshape(P2, 3 * TR * GT, C)
-        out = ball_query_select_pallas(
-            float(radius), nsample, coords, gids, cen_b,
-            k_chunks=k_chunks, interpret=interpret,
-        )
-        idx_sorted = (
-            out.reshape(B, G, TR, GT, C)
-            .transpose(0, 1, 3, 2, 4)
-            .reshape(B, Tp * TR, C)[:, :m, :nsample]
-        )
-        inv = jnp.argsort(corder, axis=1)
-        return jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
+        return fast
 
     def full(_):
         idx, _nf = _ball_query_scan(radius, nsample, xyz, new_xyz)
         return idx
 
-    return lax.stop_gradient(lax.cond(violated, full, fast, None))
+    def pruned(_):
+        if k_small == k_chunks:
+            return make_fast(k_chunks)(None)
+        return lax.cond(
+            count_max > k_small, make_fast(k_chunks), make_fast(k_small),
+            None,
+        )
+
+    return lax.stop_gradient(
+        lax.cond(count_max > k_chunks, full, pruned, None)
+    )
 
 
 @partial(

@@ -192,6 +192,22 @@ def shard_train_step(train_step, mesh):
 
 
 def shard_eval_step(eval_step, mesh):
+    """jit the eval step with pinned output shardings: per-sample
+    end_points stay batch-sharded on dp (so the evaluator's host pulls
+    are deterministic slices, not whatever layout XLA picked), scalars
+    replicated."""
     rep, shd = replicated(mesh), batch_sharding(mesh)
-    # outputs mix per-sample tensors and scalar losses; let XLA place them
-    return jax.jit(eval_step, in_shardings=(rep, shd))
+    dp_size = mesh.shape["dp"]
+
+    def stepped(state, batch):
+        out = eval_step(state, batch)
+        return {
+            k: jax.lax.with_sharding_constraint(
+                v, shd if (hasattr(v, "ndim") and v.ndim >= 1
+                           and v.shape[0] > 0
+                           and v.shape[0] % dp_size == 0) else rep
+            )
+            for k, v in out.items()
+        }
+
+    return jax.jit(stepped, in_shardings=(rep, shd))
