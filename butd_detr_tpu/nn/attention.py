@@ -10,12 +10,17 @@ by the JAX RoBERTa encoder. Matches torch semantics:
   * separate q/k/v projections + output projection, all with bias
     (torch packs q/k/v into in_proj; a checkpoint converter just splits it).
 
-All matmuls are batched (B*H fold) and feed the MXU; no flash kernel is
-needed at these lengths (<=1024 visual tokens, <=256 text bins).
+On TPU the attention core (QK^T, masked softmax, prob-dropout, @V) runs
+in the fused Pallas kernel (ops/pallas_attention.py) — the unfused form
+materializes (B, H, Lq, Lk) logits and probabilities to HBM, which
+dominates the encoder at L=1024. The unfused path remains for CPU/tests
+and as `use_flash=False` opt-out; both paths implement identical
+(torch) semantics.
 """
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -27,6 +32,7 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: Optional[bool] = None  # None = auto (TPU backend)
 
     @nn.compact
     def __call__(
@@ -51,6 +57,33 @@ class MultiHeadAttention(nn.Module):
         q = dense("q_proj")(query).reshape(B, Lq, H, Dh)
         k = dense("k_proj")(key).reshape(B, Lk, H, Dh)
         v = dense("v_proj")(value).reshape(B, Lk, H, Dh)
+
+        use_flash = self.use_flash
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
+        if use_flash:
+            from butd_detr_tpu.ops.pallas_attention import fused_attention
+
+            p_drop = self.dropout if train else 0.0
+            seed = None
+            if p_drop > 0.0:
+                bits = jax.random.bits(
+                    self.make_rng("dropout"), (1,), jnp.uint32
+                )
+                seed = jax.lax.bitcast_convert_type(bits, jnp.int32)
+            out = fused_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                key_padding_mask,
+                sm_scale=1.0 / (float(Dh) ** 0.5),
+                dropout_p=p_drop,
+                dropout_seed=seed,
+            ).transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
+            return nn.Dense(
+                self.d_model, kernel_init=XAVIER_UNIFORM, dtype=self.dtype,
+                name="out_proj",
+            )(out.astype(self.dtype))
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(Dh, q.dtype)

@@ -363,3 +363,39 @@ def test_ball_query_pallas_pruned_exact():
     rand = rng.uniform(0, 4, (B, n, 3)).astype(np.float32)
     rc = np.take_along_axis(rand, rng.integers(0, n, (B, m))[..., None], 1)
     check(rand, rc, 0.2, 64)
+
+
+def test_fused_attention_matches_reference():
+    """Pallas fused attention (interpret mode): forward and all grads vs
+    the unfused reference math, incl. torch-min key-padding masking."""
+    import jax
+
+    from butd_detr_tpu.ops.pallas_attention import fused_attention
+
+    rng = np.random.RandomState(0)
+    B, H, Lq, Lk, Dh = 2, 4, 40, 70, 36
+    q = jnp.asarray(rng.randn(B, H, Lq, Dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, Lk, Dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, Lk, Dh).astype(np.float32))
+    pad = np.zeros((B, Lk), bool)
+    pad[:, 60:] = True
+    padj = jnp.asarray(pad)
+    scale = 1.0 / np.sqrt(Dh)
+
+    def ref(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        s = jnp.where(padj[:, None, None, :], jnp.finfo(jnp.float32).min, s)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    want = ref(q, k, v)
+    got = fused_attention(q, k, v, padj, sm_scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+    gr = jax.grad(lambda a: jnp.sum(ref(*a) ** 2))((q, k, v))
+    gg = jax.grad(lambda a: jnp.sum(fused_attention(
+        a[0], a[1], a[2], padj, sm_scale=scale, interpret=True) ** 2))(
+        (q, k, v))
+    for a, b in zip(gr, gg):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
