@@ -38,11 +38,18 @@ class QueryAndGroup(nn.Module):
 
     def __call__(self, xyz, new_xyz, features=None):
         idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
-        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
-        if self.normalize_xyz:
-            grouped_xyz = grouped_xyz / self.radius
         if features is not None:
-            grouped_features = group_points(features, idx)
+            # ONE row gather for xyz+features: TPU gather cost is
+            # per-row-dominated (the separate 3-channel xyz gather costs
+            # as much as the 9-channel combined one), so gathering the
+            # concatenated array halves the hot sa1 grouping cost
+            grouped = group_points(
+                jnp.concatenate([xyz, features], axis=-1), idx
+            )
+            grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
+            if self.normalize_xyz:
+                grouped_xyz = grouped_xyz / self.radius
+            grouped_features = grouped[..., 3:]
             if self.use_xyz:
                 new_features = jnp.concatenate(
                     [grouped_xyz, grouped_features], axis=-1
@@ -51,6 +58,9 @@ class QueryAndGroup(nn.Module):
                 new_features = grouped_features
         else:
             assert self.use_xyz, "need features or xyz"
+            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+            if self.normalize_xyz:
+                grouped_xyz = grouped_xyz / self.radius
             new_features = grouped_xyz
         return new_features, grouped_xyz
 
