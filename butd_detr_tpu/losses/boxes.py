@@ -3,9 +3,21 @@
 Rebuild of reference `models/losses.py:27-91` (same math also duplicated in
 reference utils/eval_det.py:71-138). All functions are pure jnp and operate
 on arbitrary leading batch dims where noted.
+
+Degenerate-box safety: the reference hard-asserts non-negative sizes
+(losses.py:32-34) and would crash the run the first time a size head output
+went negative. Here sizes are clamped at 1e-6 instead — but a 1e-6 size is
+ABSORBED by f32 at centers of magnitude >~10 (eps(1000) = 6e-5), producing
+genuinely zero-width corner boxes; two such boxes give union == 0 and an
+0/0 NaN that escapes downstream masking via 0*NaN (observed on padded GT
+rows, centers 1000, once a pred size went negative mid-training). All
+IoU/GIoU denominators are therefore guarded with _EPS_VOL; real ScanNet
+boxes have volumes >= ~1e-6 m^3, so the guard never perturbs them.
 """
 
 import jax.numpy as jnp
+
+_EPS_VOL = 1e-10
 
 
 def box_cxcyczwhd_to_xyzxyz(x):
@@ -36,7 +48,7 @@ def pairwise_iou3d(box_a, box_b):
         + box_volume(box_b)[..., None, :]
         - inter
     )
-    return inter / union, union
+    return inter / jnp.maximum(union, _EPS_VOL), union
 
 
 def matched_iou3d(boxes1, boxes2):
@@ -46,7 +58,7 @@ def matched_iou3d(boxes1, boxes2):
     d = jnp.clip(hi - lo, 0, None)
     inter = d[..., 0] * d[..., 1] * d[..., 2]
     union = box_volume(boxes1) + box_volume(boxes2) - inter
-    return inter / union
+    return inter / jnp.maximum(union, _EPS_VOL)
 
 
 def generalized_box_iou3d(boxes1, boxes2):
@@ -56,7 +68,7 @@ def generalized_box_iou3d(boxes1, boxes2):
     hi = jnp.maximum(boxes1[:, None, 3:], boxes2[None, :, 3:])
     d = jnp.clip(hi - lo, 0, None)
     volume = d[..., 0] * d[..., 1] * d[..., 2]
-    return iou - (volume - union) / volume
+    return iou - (volume - union) / jnp.maximum(volume, _EPS_VOL)
 
 
 def matched_giou3d(boxes1, boxes2):
@@ -67,9 +79,9 @@ def matched_giou3d(boxes1, boxes2):
     di = jnp.clip(hi_i - lo_i, 0, None)
     inter = di[..., 0] * di[..., 1] * di[..., 2]
     union = box_volume(boxes1) + box_volume(boxes2) - inter
-    iou = inter / union
+    iou = inter / jnp.maximum(union, _EPS_VOL)
     lo = jnp.minimum(boxes1[..., :3], boxes2[..., :3])
     hi = jnp.maximum(boxes1[..., 3:], boxes2[..., 3:])
     d = jnp.clip(hi - lo, 0, None)
     vol = d[..., 0] * d[..., 1] * d[..., 2]
-    return iou - (vol - union) / vol
+    return iou - (vol - union) / jnp.maximum(vol, _EPS_VOL)

@@ -1,0 +1,128 @@
+"""Pallas TPU kernel: row scatter-add as on-the-fly one-hot MXU matmuls.
+
+The VJP of the grouping gathers (`group_points` / `three_interpolate`,
+reference group_points_gpu.cu:45-62 / interpolate_gpu.cu:116-134 — CUDA
+atomicAdd) is a scatter-add. XLA lowers data-dependent scatter on TPU to a
+serialized per-row loop, which makes the backward pass of the sa2-sa4 set
+abstractions the dominant pole of the train step (PERF.md r2 decomposition:
+~275 ms of a 515 ms step is backward, led by these scatters). This kernel
+computes
+
+    out[b, n, :] = sum_m [idx[b, m] == n] * g[b, m, :]
+
+as a chunked matmul: per M-chunk, a (MC, N) one-hot tile is materialized in
+VMEM (lane-iota compare — never touches HBM) and contracted with the (MC, C)
+cotangent rows on the MXU, accumulating into the (N, C) output block. The
+one-hot entries are exact in f32, so each output row is an exact sum of the
+selected cotangent rows (summation order differs from XLA's scatter; values
+agree to reassociation).
+
+Shapes here are tiny by MXU standards (N<=2048, C<=384 after padding), so
+FLOP cost is ~0.5 TFLOP at B=24 across sa2-sa4 — milliseconds, vs the
+serialized scatter's ~100 ms.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# largest N for which the (N, C) accumulator + (MC, N) one-hot tile fit the
+# ~16 MB scoped VMEM comfortably; callers fall back to XLA scatter above it
+MAX_N = 4096
+LANES = 128
+
+
+def _make_kernel(N):
+    from jax.experimental import pallas as pl
+
+    def kernel(g_ref, idx_ref, out_ref):
+        # zero the accumulator on the first M-chunk of this batch row
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        g = g_ref[0]  # (MC, C)
+        idx = idx_ref[0]  # (MC, 1) i32
+        MC = g.shape[0]
+        # one-hot (MC, N): compare the index column against the absolute
+        # lane index (lane-dim broadcast of a size-1 lane operand)
+        cols = lax.broadcasted_iota(jnp.int32, (MC, N), 1)
+        oh = (idx == cols).astype(jnp.float32)
+        # (N, C) += (MC, N)^T @ (MC, C) — contract the chunk dim on the MXU
+        out_ref[0] += lax.dot_general(
+            oh,
+            g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            # HIGHEST: the MXU's default bf16 multiply would round g;
+            # with exact 0/1 one-hot rows, f32 passes make the sum exact
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+def _pad_to(x, mult, axis, value=0):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def scatter_rows_add_pallas(g, idx, n, interpret=False):
+    """out[b, j, :] = sum over m with idx[b, m] == j of g[b, m, :].
+
+    g: (B, M, C) float32 cotangent rows; idx: (B, M) int32 in [0, n)
+    (entries >= n are ignored — used for M padding); returns (B, n, C).
+    """
+    from jax.experimental import pallas as pl
+
+    B, M, C = g.shape
+    N = -(-n // LANES) * LANES
+    Cp = -(-C // LANES) * LANES
+    # chunk size: one-hot tile (MC, N) f32 <= 2 MB. Mosaic double-buffers
+    # the grid blocks, so the working set is ~2x (one-hot + g tile + out);
+    # 2 MB keeps the sa2 shape (N=2048, Cp=256) at ~10 MB scoped VMEM
+    MC = max(LANES, min(512, (2 * 2**20) // (N * 4) // LANES * LANES))
+    g = _pad_to(_pad_to(g.astype(jnp.float32), Cp, 2), MC, 1)
+    idx = _pad_to(idx.astype(jnp.int32), MC, 1, value=N)
+    Mp = g.shape[1]
+    # replicate idx over a lane so the kernel block is 2-D (MC, LANES)
+    idxl = jnp.broadcast_to(idx[:, :, None], (B, Mp, 1))
+    n_chunks = Mp // MC
+
+    out = pl.pallas_call(
+        _make_kernel(N),
+        out_shape=jax.ShapeDtypeStruct((B, N, Cp), jnp.float32),
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, MC, Cp), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, MC, 1), lambda b, c: (b, c, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, N, Cp), lambda b, c: (b, 0, 0)),
+        interpret=interpret,
+    )(g, idxl)
+    return out[:, :n, :C]
+
+
+def scatter_rows_add_xla(g, idx, n):
+    """XLA fallback: the same scatter-add via .at[].add (autodiff's form)."""
+    B, M, C = g.shape
+    safe = jnp.minimum(idx, n - 1)
+    keep = (idx < n)[..., None].astype(g.dtype)
+    out = jnp.zeros((B, n, C), g.dtype)
+    return out.at[
+        jnp.arange(B)[:, None], safe
+    ].add(g * keep)
+
+
+def scatter_rows_add(g, idx, n):
+    """Backend-dispatched row scatter-add (see module docstring)."""
+    if jax.default_backend() == "tpu" and n <= MAX_N:
+        return scatter_rows_add_pallas(g, idx, n)
+    return scatter_rows_add_xla(g, idx, n)

@@ -18,6 +18,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -107,7 +108,10 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 
     Channels-last analogue of `gather_points_kernel`
     (reference sampling_gpu.cu:13-25). The scatter-add gradient
-    (sampling_gpu.cu:39-52) is provided by autodiff.
+    (sampling_gpu.cu:39-52) is a custom VJP routed through the same
+    MXU-matmul scatter as `group_points` (ops/pallas_scatter.py): XLA's
+    TPU scatter serializes per row, which makes even the 256-row kps
+    feature-gather grad a visible slice of the backward pass.
 
     Args:
         points: (B, N, C).
@@ -116,7 +120,29 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     Returns:
         (B, M, C).
     """
+    return _gather_points_vjp(points, idx, points.shape[1])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_points_vjp(points, idx, n):
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def _gather_points_fwd(points, idx, n):
+    return _gather_points_vjp(points, idx, n), idx
+
+
+def _gather_points_bwd(n, idx, g):
+    from butd_detr_tpu.ops.pallas_scatter import scatter_rows_add
+
+    grad = scatter_rows_add(
+        g.astype(jnp.float32), idx.astype(jnp.int32), n
+    ).astype(g.dtype)
+    zero_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return grad, zero_idx
+
+
+_gather_points_vjp.defvjp(_gather_points_fwd, _gather_points_bwd)
 
 
 NO_HIT = -(2**30)  # ball-query miss score; any hit beats it
@@ -650,11 +676,46 @@ def ball_query(
     return idx
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _group_points_vjp(points, idx, n):
+    B, N, C = points.shape
+    _, m, ns = idx.shape
+    flat = jnp.take_along_axis(
+        points, idx.reshape(B, m * ns, 1).astype(jnp.int32), axis=1
+    )
+    return flat.reshape(B, m, ns, C)
+
+
+def _group_points_fwd(points, idx, n):
+    return _group_points_vjp(points, idx, n), idx
+
+
+def _group_points_bwd(n, idx, g):
+    from butd_detr_tpu.ops.pallas_scatter import scatter_rows_add
+
+    B, m, ns = idx.shape
+    C = g.shape[-1]
+    grad = scatter_rows_add(
+        g.reshape(B, m * ns, C).astype(jnp.float32),
+        idx.reshape(B, m * ns),
+        n,
+    ).astype(g.dtype)
+    zero_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return grad, zero_idx
+
+
+_group_points_vjp.defvjp(_group_points_fwd, _group_points_bwd)
+
+
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Group point features: out[b, j, k] = points[b, idx[b, j, k]].
 
     Channels-last analogue of `group_points_kernel`
-    (reference group_points_gpu.cu:13-29); scatter-add gradient via autodiff.
+    (reference group_points_gpu.cu:13-29). The scatter-add gradient
+    (group_points_gpu.cu:45-62, CUDA atomicAdd) is a custom VJP: XLA's TPU
+    scatter serializes per row and dominated the train-step backward, so on
+    TPU the grad is computed as one-hot MXU matmuls (ops/pallas_scatter.py);
+    off-TPU it is the plain .at[].add autodiff form.
 
     Args:
         points: (B, N, C).
@@ -663,12 +724,7 @@ def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     Returns:
         (B, m, nsample, C).
     """
-    B, N, C = points.shape
-    _, m, ns = idx.shape
-    flat = jnp.take_along_axis(
-        points, idx.reshape(B, m * ns, 1).astype(jnp.int32), axis=1
-    )
-    return flat.reshape(B, m, ns, C)
+    return _group_points_vjp(points, idx, points.shape[1])
 
 
 @jax.jit

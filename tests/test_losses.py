@@ -322,3 +322,35 @@ def test_kps_loss_prefers_close_seeds():
     lg = float(compute_points_obj_cls_loss_hard_topk(good, topk=2))
     lb = float(compute_points_obj_cls_loss_hard_topk(bad, topk=2))
     assert lg < lb
+
+
+def test_loss_boxes_finite_on_degenerate_padded_rows():
+    """Regression: padded GT rows (center 1000, size 0) build zero-width
+    corner boxes in f32 (the 1e-6 size clamp is absorbed by the center's
+    magnitude); once a pred size goes negative too (the reference would
+    hard-assert here, losses.py:32-34), union == 0 gave a 0/0 NaN that
+    escaped the box mask via 0*NaN. Observed live at step 870 of the
+    4-scene overfit study."""
+    from butd_detr_tpu.losses.criterion import loss_boxes
+
+    # one valid gt + one padded gt; pred 0 has a NEGATIVE size component
+    # and a center far from the origin (triggers f32 absorption)
+    pred = jnp.asarray(
+        [[[-16.3, 4.86, 8.91, -2.51, 0.455, 0.932],
+          [0.0, 0.0, 0.0, 0.5, 0.5, 0.5]]]
+    )
+    gt = jnp.asarray(
+        [[[0.1, 0.0, 0.0, 0.5, 0.5, 0.5],
+          [1000.0, 1000.0, 1000.0, 0.0, 0.0, 0.0]]]
+    )
+    assignment = jnp.asarray([[1, 0]], jnp.int32)  # padded row -> pred 0
+    mask = jnp.asarray([[1.0, 0.0]])
+    out = loss_boxes(pred, gt, assignment, mask, num_boxes=1.0)
+    assert np.isfinite(float(out["loss_giou"])), out
+    assert np.isfinite(float(out["loss_bbox"])), out
+
+    # gradient w.r.t. pred must be finite too
+    g = jax.grad(
+        lambda p: loss_boxes(p, gt, assignment, mask, 1.0)["loss_giou"]
+    )(pred)
+    assert bool(jnp.isfinite(g).all())

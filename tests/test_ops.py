@@ -399,3 +399,74 @@ def test_fused_attention_matches_reference():
         (q, k, v))
     for a, b in zip(gr, gg):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+def test_scatter_rows_add_xla_matches_loop():
+    from butd_detr_tpu.ops.pallas_scatter import scatter_rows_add_xla
+
+    rng = np.random.RandomState(11)
+    B, M, C, n = 2, 40, 5, 16
+    g = rng.randn(B, M, C).astype(np.float32)
+    idx = rng.randint(0, n, (B, M)).astype(np.int32)
+    idx[0, :3] = n  # out-of-range pad entries are dropped
+    want = np.zeros((B, n, C), np.float32)
+    for b in range(B):
+        for m in range(M):
+            if idx[b, m] < n:
+                want[b, idx[b, m]] += g[b, m]
+    got = np.asarray(scatter_rows_add_xla(jnp.asarray(g), jnp.asarray(idx), n))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_scatter_rows_add_pallas_interpret_matches_xla():
+    from butd_detr_tpu.ops.pallas_scatter import (
+        scatter_rows_add_pallas,
+        scatter_rows_add_xla,
+    )
+
+    rng = np.random.RandomState(12)
+    B, M, C, n = 2, 300, 9, 130  # exercises M/C/N padding + chunking
+    g = rng.randn(B, M, C).astype(np.float32)
+    idx = rng.randint(0, n, (B, M)).astype(np.int32)
+    want = scatter_rows_add_xla(jnp.asarray(g), jnp.asarray(idx), n)
+    got = scatter_rows_add_pallas(jnp.asarray(g), jnp.asarray(idx), n, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_group_points_custom_vjp_matches_autodiff():
+    # the custom VJP (ops/pallas_scatter.py one-hot matmul on TPU,
+    # .at[].add off-TPU) must agree with plain take_along_axis autodiff
+    rng = np.random.RandomState(13)
+    B, N, C, m, ns = 2, 64, 5, 10, 4
+    pts = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, m, ns)).astype(np.int32))
+    ct = jnp.asarray(rng.randn(B, m, ns, C).astype(np.float32))
+
+    _, vjp1 = jax.vjp(lambda p: group_points(p, idx), pts)
+    _, vjp2 = jax.vjp(
+        lambda p: jnp.take_along_axis(
+            p, idx.reshape(B, m * ns, 1), axis=1
+        ).reshape(B, m, ns, C),
+        pts,
+    )
+    (g1,) = vjp1(ct)
+    (g2,) = vjp2(ct)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_gather_points_custom_vjp_matches_autodiff():
+    from butd_detr_tpu.ops.pointcloud import gather_points
+
+    rng = np.random.RandomState(14)
+    B, N, C, m = 2, 48, 7, 12
+    pts = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, m)).astype(np.int32))
+    ct = jnp.asarray(rng.randn(B, m, C).astype(np.float32))
+
+    _, vjp1 = jax.vjp(lambda p: gather_points(p, idx), pts)
+    _, vjp2 = jax.vjp(
+        lambda p: jnp.take_along_axis(p, idx[..., None], axis=1), pts
+    )
+    (g1,) = vjp1(ct)
+    (g2,) = vjp2(ct)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
