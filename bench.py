@@ -50,7 +50,11 @@ def main():
 
     from butd_detr_tpu.data.synthetic import synthetic_batch
     from butd_detr_tpu.lang import roberta_base_config
-    from butd_detr_tpu.parallel import make_mesh, shard_batch
+    from butd_detr_tpu.parallel import (
+        commit_replicated,
+        make_mesh,
+        shard_batch,
+    )
     from butd_detr_tpu.train import (
         Config,
         init_state,
@@ -102,6 +106,10 @@ def main():
             opt_state=optimizer.init(variables["params"]),
         )
     print(f"# init {time.time()-t0:.0f}s", flush=True)
+    # commit to the replicated sharding BEFORE the first step: otherwise
+    # call 1 (uncommitted init state) and call 2 (committed output state)
+    # compile two separate executables (parallel/mesh.commit_replicated)
+    state = commit_replicated(mesh, state)
 
     if mode == "train":
         step = shard_train_step(make_train_step(model, cfg, optimizer), mesh)

@@ -48,3 +48,17 @@ def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays onto the mesh, batch-sharded on axis 0."""
     s = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def commit_replicated(mesh: Mesh, tree):
+    """Commit a pytree (e.g. a fresh TrainState) to the replicated sharding.
+
+    `init_state` builds arrays with default (single-device) placement; the
+    first `shard_train_step` call then compiles an executable for THAT
+    input sharding, and the second call — whose input is the properly
+    replicated output state — compiles a SECOND executable. Committing the
+    state up front makes every call share one executable (measured: the
+    duplicate train-step compile is minutes on TPU and ~90 s on the CPU
+    test mesh)."""
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

@@ -31,7 +31,11 @@ from butd_detr_tpu.eval import (
     parse_groundtruths,
     parse_predictions,
 )
-from butd_detr_tpu.parallel import make_mesh, shard_batch
+from butd_detr_tpu.parallel import (
+    commit_replicated,
+    make_mesh,
+    shard_batch,
+)
 from butd_detr_tpu.train.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
@@ -207,6 +211,9 @@ class TrainTester:
         state = init_state(model, optimizer, sample, rng)
         self.logger.info(f"init_state: {time.time() - t0:.1f}s")
         state = self.init_pretrained(state)
+        # commit to the mesh's replicated sharding so every train/eval
+        # call shares one executable (parallel/mesh.commit_replicated)
+        state = commit_replicated(mesh, state)
 
         train_step = shard_train_step(
             make_train_step(model, cfg, optimizer), mesh

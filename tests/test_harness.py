@@ -74,7 +74,11 @@ def tiny_config(tmp_path, **kw):
     kw.setdefault("test_dataset", "sr3d")
     return Config(
         batch_size=2,
-        num_decoder_layers=2,
+        # single encoder/decoder layer: graph size sets the XLA:CPU
+        # compile time that dominates this test (see tiny_setup note in
+        # test_train_step.py); the multi-layer path runs in the heavy tier
+        num_encoder_layers=1,
+        num_decoder_layers=1,
         num_target=16,
         max_text_len=16,
         num_points=1024,

@@ -7,7 +7,11 @@ import pytest
 
 from butd_detr_tpu.data.synthetic import synthetic_batch
 from butd_detr_tpu.lang import tiny_roberta_config
-from butd_detr_tpu.parallel import make_mesh, shard_batch
+from butd_detr_tpu.parallel import (
+    commit_replicated,
+    make_mesh,
+    shard_batch,
+)
 from butd_detr_tpu.train import (
     Config,
     TrainState,
@@ -23,12 +27,18 @@ from butd_detr_tpu.train.step import build_model
 
 
 def tiny_setup(B=8):
+    # 1 encoder + 1 decoder layer: the cross-encoder dominates the
+    # train-step HLO (~20k of 124k instructions at 3+2 layers) and this
+    # container compiles XLA:CPU on a single core — layer count is the
+    # compile-time lever. The multi-layer prefix logic (ihead_*) is
+    # covered by the CPU criterion tests and the heavy tier.
     cfg = Config(
         use_contrastive_align=True,
         use_soft_token_loss=True,
         butd=True,
         self_attend=True,
-        num_decoder_layers=2,
+        num_encoder_layers=1,
+        num_decoder_layers=1,
         num_target=16,
         batch_size=B,
         max_text_len=12,
@@ -66,57 +76,59 @@ def test_schedules():
     assert float(sched2(100)) < 1e-5
 
 
-def test_train_step_runs_and_learns_on_dp_mesh():
+@pytest.fixture(scope="module")
+def mesh_run():
+    """One shared compile+train run for all dp-mesh assertions: this
+    graph costs minutes to build on the single-core XLA:CPU of this
+    container, so every mesh test reads from the same 4-step run."""
     cfg, model, batch, optimizer = tiny_setup(B=8)
     mesh = make_mesh()
-    assert mesh.devices.size == 8
-
     rng = jax.random.PRNGKey(0)
-    state = init_state(model, optimizer, batch, rng)
+    state0 = commit_replicated(mesh, init_state(model, optimizer, batch, rng))
     step = shard_train_step(make_train_step(model, cfg, optimizer), mesh)
     sbatch = shard_batch(mesh, batch)
-
-    losses = []
+    params0 = jax.device_get(state0.params)
+    state = state0
+    losses, metrics = [], None
     for i in range(4):
         state, metrics = step(state, sbatch, rng)
         losses.append(float(metrics["loss"]))
-        assert np.isfinite(losses[-1])
-    assert int(state.step) == 4
+    return dict(
+        cfg=cfg, model=model, batch=batch, optimizer=optimizer, mesh=mesh,
+        sbatch=sbatch, params0=params0, state=state, losses=losses,
+        metrics=metrics,
+    )
+
+
+def test_train_step_runs_and_learns_on_dp_mesh(mesh_run):
+    assert mesh_run["mesh"].devices.size == 8
+    losses = mesh_run["losses"]
+    assert all(np.isfinite(l) for l in losses)
+    assert int(mesh_run["state"].step) == 4
     # optimizing the same batch must reduce the loss
     assert losses[-1] < losses[0]
     # grad clipping: global grad norm metric present and finite
-    assert np.isfinite(float(metrics["grad_norm"]))
+    assert np.isfinite(float(mesh_run["metrics"]["grad_norm"]))
 
 
-def test_frozen_text_encoder_params_unchanged():
-    cfg, model, batch, optimizer = tiny_setup(B=8)
-    mesh = make_mesh()
-    rng = jax.random.PRNGKey(0)
-    state = init_state(model, optimizer, batch, rng)
-    before = jax.device_get(state.params["text_encoder"])
-    step = shard_train_step(make_train_step(model, cfg, optimizer), mesh)
-    state, _ = step(state, shard_batch(mesh, batch), rng)
-    after = jax.device_get(state.params["text_encoder"])
+def test_frozen_text_encoder_params_unchanged(mesh_run):
+    before = mesh_run["params0"]["text_encoder"]
+    after = jax.device_get(mesh_run["state"].params["text_encoder"])
     for a, b in zip(
         jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
     ):
         np.testing.assert_array_equal(a, b)
     # but the main trunk did move
     assert not np.allclose(
-        jax.device_get(state.params["decoder_query_proj"]["kernel"]),
-        jax.device_get(
-            init_state(model, optimizer, batch, rng).params[
-                "decoder_query_proj"
-            ]["kernel"]
-        ),
+        jax.device_get(mesh_run["state"].params["decoder_query_proj"]["kernel"]),
+        mesh_run["params0"]["decoder_query_proj"]["kernel"],
     )
 
 
-def test_eval_step_matches_schema():
-    cfg, model, batch, optimizer = tiny_setup(B=8)
-    mesh = make_mesh()
-    state = init_state(model, optimizer, batch, jax.random.PRNGKey(0))
-    estep = shard_eval_step(make_eval_step(model, cfg), mesh)
-    ep = estep(state, shard_batch(mesh, batch))
+def test_eval_step_matches_schema(mesh_run):
+    estep = shard_eval_step(
+        make_eval_step(mesh_run["model"], mesh_run["cfg"]), mesh_run["mesh"]
+    )
+    ep = estep(mesh_run["state"], mesh_run["sbatch"])
     assert ep["last_center"].shape == (8, 16, 3)
     assert np.isfinite(float(ep["loss"]))
