@@ -68,9 +68,11 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "24"))
     N = int(os.environ.get("BENCH_POINTS", "50000"))
     bf16 = os.environ.get("BENCH_BF16", "0") == "1"
+    bb_bf16 = os.environ.get("BENCH_BB_BF16", "0") == "1"
     cfg = Config(
         use_contrastive_align=True, use_soft_token_loss=True, butd=True,
         self_attend=True, use_color=True, batch_size=B, use_bf16=bf16,
+        backbone_bf16=bb_bf16,
     )
     model = build_model(cfg, roberta_config=roberta_base_config())
     batch = synthetic_batch(

@@ -74,9 +74,19 @@ class BeaUTyDETR(nn.Module):
     text_hidden: int = 768  # RoBERTa hidden size
     box_emb_dim: int = 128  # split of d_model for the box stream (bdetr.py:93-94)
     roberta: Optional[RobertaConfig] = None  # None => text feats provided
+    # reference bdetr.py:76-77 freezes the trunk unconditionally; False
+    # lets gradients flow (pair with Config.freeze_text_encoder=False so
+    # the optimizer actually trains it)
+    freeze_text: bool = True
     # backbone scaling knobs (tests use smaller schedules)
     backbone_npoints: tuple = (2048, 1024, 512, 256)
     dtype: jnp.dtype = jnp.float32
+    # compute dtype for the PointNet++ MLP stacks only (None => dtype).
+    # bf16 here halves the HBM traffic of the grouped (B, np, ns, C)
+    # intermediates — the backbone is bandwidth-bound, not FLOP-bound —
+    # while BatchNorm statistics and all geometry (FPS/ball query/xyz)
+    # stay f32. Cast back to `dtype` at the fp2 boundary.
+    backbone_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, inputs: Dict[str, Any], *, train: bool = False):
@@ -88,8 +98,14 @@ class BeaUTyDETR(nn.Module):
             input_feature_dim=self.input_feature_dim,
             output_dim=d,
             npoints=self.backbone_npoints,
-            dtype=self.dtype, name="backbone_net",
+            dtype=self.backbone_dtype or self.dtype, name="backbone_net",
         )(inputs["point_clouds"], train=train)
+        ep = {
+            k: (v.astype(self.dtype)
+                if hasattr(v, "dtype") and v.dtype != jnp.int32
+                and v.dtype != self.dtype else v)
+            for k, v in ep.items()
+        }
         end_points.update(ep)
         end_points["seed_inds"] = ep["fp2_inds"]
         end_points["seed_xyz"] = ep["fp2_xyz"]
@@ -100,8 +116,14 @@ class BeaUTyDETR(nn.Module):
             text_hidden_states = RobertaModel(
                 self.roberta, dtype=self.dtype, name="text_encoder",
             )(inputs["text_ids"], inputs["text_mask"], train=False)
-            # requires_grad=False parity: no grads into the trunk.
-            text_hidden_states = jax.lax.stop_gradient(text_hidden_states)
+            # requires_grad=False parity: no grads into the trunk. This
+            # also prunes the whole RoBERTa backward from the train step
+            # and keeps frozen-text grads out of the clip norm (reference
+            # frozen params have grad=None, excluded from clipping).
+            if self.freeze_text:
+                text_hidden_states = jax.lax.stop_gradient(
+                    text_hidden_states
+                )
         else:
             text_hidden_states = inputs["text_hidden_states"]
         text_feats = nn.Dense(d, dtype=self.dtype, name="text_projector")(

@@ -47,11 +47,17 @@ class SharedMLP(nn.Module):
                 dtype=self.dtype,
             )(x)
             if self.bn:
+                # dtype here sets only the OUTPUT dtype: flax computes the
+                # mean/var in f32 regardless (normalization._compute_stats),
+                # and scale/bias params stay f32 (param_dtype default). In
+                # bf16 mode the normalized activations — the big grouped
+                # (B, npoint, nsample, C) intermediates — stay bf16, which
+                # is the entire HBM-traffic point of backbone_bf16.
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     momentum=BN_MOMENTUM,
                     epsilon=BN_EPS,
-                    dtype=jnp.float32,
+                    dtype=self.dtype,
                 )(x)
             x = nn.relu(x)
         return x
@@ -72,7 +78,7 @@ class ConvBNRelu1d(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM,
-            epsilon=BN_EPS, dtype=jnp.float32,
+            epsilon=BN_EPS, dtype=self.dtype,
         )(x)
         return nn.relu(x)
 

@@ -98,6 +98,10 @@ class Config:
     profile_dir: Optional[str] = None
     profile_steps: int = 5
     use_bf16: bool = False
+    # bf16 compute for the PointNet++ MLP stacks only (geometry and BN
+    # stats stay f32); the backbone is HBM-bandwidth-bound and this
+    # halves its intermediate traffic. Independent of use_bf16.
+    backbone_bf16: bool = False
     freeze_text_encoder: bool = True
 
     def __post_init__(self):

@@ -80,6 +80,8 @@ def build_model(cfg: Config, roberta_config=None,
         roberta=roberta_config,
         backbone_npoints=backbone_npoints,
         dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
+        backbone_dtype=jnp.bfloat16 if cfg.backbone_bf16 else None,
+        freeze_text=cfg.freeze_text_encoder,
     )
 
 

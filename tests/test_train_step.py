@@ -132,3 +132,68 @@ def test_eval_step_matches_schema(mesh_run):
     ep = estep(mesh_run["state"], mesh_run["sbatch"])
     assert ep["last_center"].shape == (8, 16, 3)
     assert np.isfinite(float(ep["loss"]))
+
+
+def test_unfreeze_text_encoder_flows_gradients():
+    """freeze_text_encoder=False must actually let grads reach the trunk
+    (the frozen default stop_gradients it, reference bdetr.py:76-77).
+    Compile-light: grad of a forward-output sum — gradient FLOW to the
+    trunk needs no loss stack."""
+    from butd_detr_tpu.train.step import INPUT_KEYS
+
+    cfg, _, batch, _ = tiny_setup(B=2)
+    inputs = {k: jnp.asarray(batch[k]) for k in INPUT_KEYS if k in batch}
+
+    def text_grad_norm(freeze):
+        cfg.freeze_text_encoder = freeze
+        m = build_model(cfg, roberta_config=tiny_roberta_config(),
+                        backbone_npoints=(64, 32, 16, 8))
+        variables = m.init(jax.random.PRNGKey(0), inputs)
+
+        def loss_fn(params):
+            ep = m.apply(
+                {"params": params,
+                 "batch_stats": variables.get("batch_stats", {})},
+                inputs, train=False,
+            )
+            return jnp.sum(ep["text_feats"].astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss_fn)(variables["params"])
+        return float(
+            sum(jnp.sum(jnp.abs(l))
+                for l in jax.tree_util.tree_leaves(g["text_encoder"]))
+        )
+
+    assert text_grad_norm(freeze=True) == 0.0
+    assert text_grad_norm(freeze=False) > 0.0
+
+
+def test_backbone_bf16_option_keeps_f32_interface():
+    """backbone_dtype=bf16 runs the PointNet++ MLPs in bf16 but the
+    end_points surface (and everything downstream) stays f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from butd_detr_tpu.data.synthetic import synthetic_batch
+    from butd_detr_tpu.lang import tiny_roberta_config
+    from butd_detr_tpu.train import Config
+    from butd_detr_tpu.train.step import INPUT_KEYS, build_model
+
+    cfg = Config(
+        use_contrastive_align=True, use_soft_token_loss=True, butd=True,
+        self_attend=True, num_encoder_layers=1, num_decoder_layers=1,
+        num_target=8, max_text_len=12, num_points=128, max_num_obj=4,
+        max_det_boxes=4, use_color=False, backbone_bf16=True,
+    )
+    model = build_model(cfg, roberta_config=tiny_roberta_config(),
+                        backbone_npoints=(32, 16, 8, 8))
+    batch = synthetic_batch(batch_size=2, num_points=128, max_text_len=12,
+                            max_num_obj=4, max_det_boxes=4,
+                            n_true_objects=2, n_true_tokens=4, n_true_det=2)
+    inputs = {k: jnp.asarray(batch[k]) for k in INPUT_KEYS if k in batch}
+    variables = model.init(jax.random.PRNGKey(0), inputs)
+    # params stay f32 (flax param_dtype default); only compute is bf16
+    ep = model.apply(variables, inputs, train=False)
+    assert ep["fp2_features"].dtype == jnp.float32
+    assert ep["last_center"].dtype == jnp.float32
+    assert bool(jnp.isfinite(ep["last_center"]).all())
