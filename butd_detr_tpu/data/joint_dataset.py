@@ -83,6 +83,7 @@ class JointGroundingDataset:
         tokenizer=None,
         max_text_len: int = 256,
         scans: Optional[Dict] = None,
+        max_num_obj: int = MAX_NUM_OBJ,
     ):
         if dataset_dict is None:
             dataset_dict = {"sr3d": 1, "scannet": 10}
@@ -101,6 +102,13 @@ class JointGroundingDataset:
         self.augment = split == "train"
         self.augment_det = augment_det
         self.max_text_len = max_text_len
+        # GT/detected/scene box pad width. The reference hard-pads to
+        # MAX_NUM_OBJ=132 (joint_det_dataset.py:33); smaller values shrink
+        # the matcher/criterion working set for datasets whose scenes have
+        # fewer objects (and the tests' compile graphs). Scenes with more
+        # objects than this are truncated exactly like the reference
+        # truncates past 132.
+        self.max_num_obj = max_num_obj
         self.joint_det = (
             "scannet" in dataset_dict
             and len(dataset_dict) > 1
@@ -463,7 +471,7 @@ class JointGroundingDataset:
         (joint_det_dataset.py:496-522). `pc` is the augmented xyz cloud;
         boxes are AABBs of the augmented object points, matching the
         reference (see _object_bbox)."""
-        bboxes = np.zeros((MAX_NUM_OBJ, 6))
+        bboxes = np.zeros((self.max_num_obj, 6))
         if isinstance(anno["target_id"], list):
             tids = anno["target_id"]
         else:
@@ -488,7 +496,7 @@ class JointGroundingDataset:
                 0.95 + 0.1 * rng.random_sample((len(tids), 6))
             )
         bboxes[len(tids):, :3] = 1000
-        box_label_mask = np.zeros(MAX_NUM_OBJ)
+        box_label_mask = np.zeros(self.max_num_obj)
         box_label_mask[: len(tids)] = 1
         return bboxes, box_label_mask, point_instance_label, tids
 
@@ -500,11 +508,11 @@ class JointGroundingDataset:
             self.label_map[scan.get_object_instance_label(ind)]
             in self.dc.nyu40id2class
             for ind in range(n)
-        ])[:MAX_NUM_OBJ]
-        keep = np.zeros(MAX_NUM_OBJ, bool)
+        ])[:self.max_num_obj]
+        keep = np.zeros(self.max_num_obj, bool)
         keep[: len(keep_)] = True
 
-        class_ids = np.zeros(MAX_NUM_OBJ)
+        class_ids = np.zeros(self.max_num_obj)
         class_ids[: len(keep_)] = [
             self.dc.nyu40id2class[
                 self.label_map[scan.get_object_instance_label(k)]
@@ -514,7 +522,7 @@ class JointGroundingDataset:
             for k in range(len(keep_))
         ]
 
-        all_bboxes = np.zeros((MAX_NUM_OBJ, 6))
+        all_bboxes = np.zeros((self.max_num_obj, 6))
         corner = np.stack(
             [self._object_bbox(scan, k, pc) for k in range(len(keep_))]
         )
@@ -529,10 +537,10 @@ class JointGroundingDataset:
 
     def _get_detected_objects(self, scan_id: str, augmentations: Dict, rng):
         """GroupFree detected-box stream (joint_det_dataset.py:563-624)."""
-        boxes = np.zeros((MAX_NUM_OBJ, 6))
-        mask = np.zeros(MAX_NUM_OBJ, bool)
-        class_ids = np.zeros(MAX_NUM_OBJ)
-        logits = np.zeros((MAX_NUM_OBJ, NUM_CLASSES), np.float32)
+        boxes = np.zeros((self.max_num_obj, 6))
+        mask = np.zeros(self.max_num_obj, bool)
+        class_ids = np.zeros(self.max_num_obj)
+        logits = np.zeros((self.max_num_obj, NUM_CLASSES), np.float32)
 
         path = osp.join(
             self.data_path,
@@ -542,7 +550,7 @@ class JointGroundingDataset:
         det = np.load(path, allow_pickle=True).item()
         corner = np.asarray(det["box"])
         n = len(det["class"])
-        assert n < MAX_NUM_OBJ and n == corner.shape[0]
+        assert n < self.max_num_obj and n == corner.shape[0]
         boxes[:n] = np.concatenate(
             [(corner[:, :3] + corner[:, 3:]) / 2,
              corner[:, 3:] - corner[:, :3]],
@@ -583,7 +591,7 @@ class JointGroundingDataset:
             if not random_utt:  # 18-class detection prompt
                 anno["target_id"] = [
                     ind
-                    for ind in range(min(n_obj, MAX_NUM_OBJ))
+                    for ind in range(min(n_obj, self.max_num_obj))
                     if self.label_map18[scan.get_object_instance_label(ind)]
                     in self.dc18.nyu40id2class
                 ]
@@ -599,7 +607,7 @@ class JointGroundingDataset:
             else:  # random 485-class prompt
                 anno["target_id"] = [
                     ind
-                    for ind in range(min(n_obj, MAX_NUM_OBJ))
+                    for ind in range(min(n_obj, self.max_num_obj))
                     if self.label_map[scan.get_object_instance_label(ind)]
                     in self.dc.nyu40id2class
                     and self.dc.class2type[self.dc.nyu40id2class[
@@ -632,11 +640,11 @@ class JointGroundingDataset:
             if self.detect_intermediate:
                 cat_names = cat_names + list(anno["anchors"])
             _, positive_map = token_positive_map(
-                self.tokenizer, anno["utterance"], cat_names, MAX_NUM_OBJ
+                self.tokenizer, anno["utterance"], cat_names, self.max_num_obj
             )
         else:
             assert anno["utterance"] == anno["span_utterance"]
-            positive_map = np.zeros((MAX_NUM_OBJ, NUM_BINS), np.float32)
+            positive_map = np.zeros((self.max_num_obj, NUM_BINS), np.float32)
             pm = np.asarray(anno["pred_pos_map"]).reshape(-1, NUM_BINS)
             positive_map[: len(pm)] = pm
         # Truncation guard: the model only sees max_text_len tokens
@@ -662,10 +670,10 @@ class JointGroundingDataset:
                 det_boxes, det_mask, det_class_ids, det_logits
             ) = self._get_detected_objects(anno["scan_id"], augmentations, rng)
         else:
-            det_boxes = np.zeros((MAX_NUM_OBJ, 6))
-            det_mask = np.zeros(MAX_NUM_OBJ, bool)
-            det_class_ids = np.zeros(MAX_NUM_OBJ)
-            det_logits = np.zeros((MAX_NUM_OBJ, NUM_CLASSES), np.float32)
+            det_boxes = np.zeros((self.max_num_obj, 6))
+            det_mask = np.zeros(self.max_num_obj, bool)
+            det_class_ids = np.zeros(self.max_num_obj)
+            det_logits = np.zeros((self.max_num_obj, NUM_CLASSES), np.float32)
 
         if self.butd_gt:  # perfect detector (joint_det_dataset.py:712-716)
             det_boxes = all_bboxes
@@ -674,14 +682,14 @@ class JointGroundingDataset:
         if self.butd_cls:  # perfect proposals (joint_det_dataset.py:718-729)
             det_boxes = all_bboxes
             det_mask = all_bbox_label_mask
-            det_class_ids = np.zeros(MAX_NUM_OBJ)
+            det_class_ids = np.zeros(self.max_num_obj)
             classes = np.array(self.cls_results[anno["scan_id"]])
             classes[classes == -1] = 325
             k = int(all_bbox_label_mask.sum())
             det_class_ids[:k] = classes[:k]
 
         # 18-class labels for detection eval (joint_det_dataset.py:731-739)
-        labels = np.zeros(MAX_NUM_OBJ)
+        labels = np.zeros(self.max_num_obj)
         if isinstance(anno["target_id"], list) and not random_utt:
             labels[: len(tids)] = [
                 self.dc18.nyu40id2class[
@@ -739,7 +747,7 @@ class JointGroundingDataset:
             "is_view_dep": is_view_dep(anno["utterance"]),
             "is_hard": len(anno["distractor_ids"]) > 1,
             "is_unique": len(anno["distractor_ids"]) == 0,
-            "target_cid": int(class_ids[root_id]) if root_id < MAX_NUM_OBJ
+            "target_cid": int(class_ids[root_id]) if root_id < self.max_num_obj
             else 0,
         }
 

@@ -125,6 +125,7 @@ class TrainTester:
             butd_cls=cfg.butd_cls,
             overfit=cfg.debug,
             max_text_len=cfg.max_text_len,
+            max_num_obj=cfg.max_num_obj,
         )
         train_dataset = JointGroundingDataset(
             dataset_dict=dataset_dict,

@@ -206,6 +206,20 @@ def test_sr3d_dataset_sample_schema(fake_root, scans):
     assert (gt_s > 0).all() and (gt_s < 2).all()
 
 
+def test_configurable_max_num_obj_pads_narrow(fake_root, scans):
+    """max_num_obj shrinks every box-shaped array from the reference's 132
+    (the default) — used by small-scene configs and the test harness."""
+    ds = dataset(fake_root, scans, butd=True, max_num_obj=8)
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["center_label"].shape == (8, 3)
+    assert s["size_gts"].shape == (8, 3)
+    assert s["positive_map"].shape == (8, 256)
+    assert s["box_label_mask"].shape == (8,)
+    assert s["det_boxes"].shape == (8, 6)
+    assert s["det_bbox_label_mask"].shape == (8,)
+    assert s["all_bboxes"].shape == (8, 6)
+
+
 def test_gt_boxes_live_in_augmented_frame(fake_root, scans):
     """Regression for the r1 training-correctness bug: GT/scene boxes must
     be AABBs of the AUGMENTED object points (reference re-assigns

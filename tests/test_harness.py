@@ -65,7 +65,7 @@ class TinyTrainTester(TrainTester):
         return build_model(
             self.cfg,
             roberta_config=tiny_roberta_config(),
-            backbone_npoints=(128, 64, 32, 16),
+            backbone_npoints=(64, 32, 16, 8),
         )
 
 
@@ -82,6 +82,12 @@ def tiny_config(tmp_path, **kw):
         num_target=16,
         max_text_len=16,
         num_points=1024,
+        # pad GT/det boxes to 8, not the reference's 132: the fake scenes
+        # have 3 objects, and the matcher/criterion instruction count
+        # (hence XLA:CPU compile time, which dominates this test) scales
+        # with the pad width
+        max_num_obj=8,
+        max_det_boxes=8,
         use_soft_token_loss=True,
         use_contrastive_align=True,
         self_attend=True,
