@@ -26,13 +26,20 @@ _META_KEYS = ("scan_ids", "utterances", "relation", "target_name")
 
 
 def collate(samples: List[Dict]) -> Dict:
-    """Stack a list of fixed-shape sample dicts into a batch dict."""
+    """Stack a list of fixed-shape sample dicts into a batch dict.
+
+    Integer arrays are emitted as int32: JAX (x64 disabled) canonicalizes
+    int64 to int32 at transfer anyway, so shipping numpy's default int64
+    would just double the host->device bytes and force an extra copy."""
     out = {}
     for k in samples[0]:
         if k in _META_KEYS:
             out[k] = [s[k] for s in samples]
         else:
-            out[k] = np.stack([np.asarray(s[k]) for s in samples])
+            v = np.stack([np.asarray(s[k]) for s in samples])
+            if v.dtype == np.int64:
+                v = v.astype(np.int32)
+            out[k] = v
     return out
 
 

@@ -271,9 +271,11 @@ class TrainTester:
         stat: Dict[str, float] = {}
         count = 0
         # profiler window: trace `profile_steps` steady-state steps (skip
-        # step 0, which includes compilation), once per run
+        # step 0, which includes compilation, unless the epoch has only
+        # one batch), once per run
         profile_at = (
-            1 if (cfg.profile_dir and not getattr(self, "_profiled", False))
+            min(1, len(train_loader) - 1)
+            if (cfg.profile_dir and not getattr(self, "_profiled", False))
             else None
         )
         tracing = False

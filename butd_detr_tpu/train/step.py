@@ -101,7 +101,10 @@ def init_state(
     model: BeaUTyDETR, optimizer, sample_batch, rng
 ) -> TrainState:
     inputs = {k: sample_batch[k] for k in INPUT_KEYS if k in sample_batch}
-    variables = model.init(rng, inputs)
+    # jit the init: eager flax init dispatches thousands of ops one by one
+    # (tens of seconds on CPU, minutes over a TPU tunnel); as one compiled
+    # graph it also lands in the persistent compile cache
+    variables = jax.jit(model.init)(rng, inputs)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],

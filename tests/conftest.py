@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # compiles for the train-step graph with unchanged numerics (no fast-math).
 if "xla_llvm_disable_expensive_passes" not in flags:
     flags = (flags + " --xla_llvm_disable_expensive_passes=true").strip()
+# Same trade at the HLO-pass level: opt level 0 cuts the flagship-test
+# compile 197s -> 144s cold with unchanged results (tiny test shapes don't
+# need the optimizer; no fast-math involved).
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402

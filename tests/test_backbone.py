@@ -87,11 +87,14 @@ def test_backbone_end_points_schema():
 
 
 def test_backbone_differentiable():
-    """End-to-end grad through SA+FP stacks (gather/group/interp grads)."""
+    """End-to-end grad through SA+FP stacks (gather/group/interp grads).
+
+    jitted grad + small npoints: one fused XLA:CPU compile instead of
+    eager per-op dispatch through four FPS loops (suite cold-time)."""
     rng = np.random.RandomState(4)
-    pc = jnp.asarray(rng.rand(1, 512, 6) + 1, jnp.float32)
-    bb = Pointnet2Backbone(input_feature_dim=3, npoints=(128, 64, 32, 16))
-    variables = bb.init(jax.random.PRNGKey(0), pc)
+    pc = jnp.asarray(rng.rand(1, 256, 6) + 1, jnp.float32)
+    bb = Pointnet2Backbone(input_feature_dim=3, npoints=(64, 32, 16, 8))
+    variables = jax.jit(bb.init)(jax.random.PRNGKey(0), pc)
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     def loss_fn(p):
@@ -101,7 +104,7 @@ def test_backbone_differentiable():
         )
         return jnp.sum(ep["fp2_features"] ** 2)
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)

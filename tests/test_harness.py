@@ -22,16 +22,19 @@ def fake_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("scannet_harness")
     return make_fake_scannet(
         str(root),
-        scan_ids=["scene0000_00", "scene0001_00",
-                  "scene0002_00", "scene0003_00"],
+        scan_ids=[f"scene{i:04d}_00" for i in range(8)],
         points_per_scan=1500,
     )
 
 
 class TinyTrainTester(TrainTester):
-    """Production harness wired to a tiny model + tiny scans."""
+    """Production harness wired to a tiny model + tiny scans.
 
-    KEEP_POINTS = 1024
+    Shapes/config deliberately MATCH tests/test_train_step.tiny_setup so
+    the train-step HLO is identical and its XLA:CPU compile — the single
+    largest cost of a cold suite run — is paid once (persistent cache)."""
+
+    KEEP_POINTS = 256
 
     def __init__(self, cfg, fake_root):
         self._root = fake_root
@@ -55,6 +58,7 @@ class TinyTrainTester(TrainTester):
             data_path=self._root, scans=scans, tokenizer=tok,
             use_color=cfg.use_color, butd=cfg.butd, butd_gt=cfg.butd_gt,
             butd_cls=cfg.butd_cls, max_text_len=cfg.max_text_len,
+            max_num_obj=cfg.max_num_obj,
         )
         return (
             JointGroundingDataset(split="train", **common),
@@ -73,19 +77,18 @@ def tiny_config(tmp_path, **kw):
     kw.setdefault("dataset", ["sr3d"])
     kw.setdefault("test_dataset", "sr3d")
     return Config(
-        batch_size=2,
-        # single encoder/decoder layer: graph size sets the XLA:CPU
-        # compile time that dominates this test (see tiny_setup note in
-        # test_train_step.py); the multi-layer path runs in the heavy tier
+        # Every graph-shaping field below matches test_train_step.tiny_setup
+        # (B=8 over dp=8, 256 points, 6-channel clouds, text 12, 16
+        # queries, 1 enc + 1 dec layer, 8-wide box pads): identical config
+        # -> identical train-step HLO -> one XLA:CPU compile for the whole
+        # suite via the persistent cache.
+        batch_size=8,
         num_encoder_layers=1,
         num_decoder_layers=1,
         num_target=16,
-        max_text_len=16,
-        num_points=1024,
-        # pad GT/det boxes to 8, not the reference's 132: the fake scenes
-        # have 3 objects, and the matcher/criterion instruction count
-        # (hence XLA:CPU compile time, which dominates this test) scales
-        # with the pad width
+        max_text_len=12,
+        num_points=256,
+        use_color=True,
         max_num_obj=8,
         max_det_boxes=8,
         use_soft_token_loss=True,
@@ -95,20 +98,27 @@ def tiny_config(tmp_path, **kw):
         val_freq=1,
         print_freq=1,
         num_workers=0,
-        dp=2,  # batch 2 must divide the dp mesh
+        dp=8,
         log_dir=str(tmp_path / "log"),
         **kw,
     )
 
 
+@pytest.mark.heavy
 def test_train_eval_checkpoint_cycle(fake_root, tmp_path):
+    """Full TrainTester integration (train -> ckpt -> resume -> eval).
+    Heavy tier: ~2.5 min on this single-core container even with the
+    persistent compile cache. Default-tier coverage of the pieces:
+    train/eval steps on the dp mesh (test_train_step.mesh_run), orbax
+    save/restore (test_checkpoint_save_restore_roundtrip), evaluators
+    (test_eval.py), dataset/loader (test_data.py)."""
     cfg = tiny_config(
         tmp_path, butd_cls=True,
         profile_dir=str(tmp_path / "trace"), profile_steps=1,
     )
     tt = TinyTrainTester(cfg, fake_root)
     state = tt.main()  # 1 epoch train + checkpoint + GT eval
-    assert int(state.step) == 2  # 4 samples / batch 2
+    assert int(state.step) == 1  # 8 samples / batch 8
     assert osp.isdir(osp.join(cfg.log_dir, "ckpt_epoch_1"))
     # jax.profiler hook wrote a TensorBoard-viewable trace
     import glob

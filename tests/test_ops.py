@@ -276,7 +276,9 @@ def test_ball_query_pruned_exact():
     )
 
     rng = np.random.default_rng(17)
-    B, n, m = 2, 6000, 256
+    # small n keeps the interpret/XLA sweeps fast; the selection edge
+    # cases (chunk overflow, empty centers, order restore) are n-independent
+    B, n, m = 2, 2000, 128
 
     def check(xyz, cen, r, ns, mt=16, kc=96):
         ref, _ = _ball_query_scan(r, ns, jnp.asarray(xyz), jnp.asarray(cen))
@@ -341,7 +343,7 @@ def test_ball_query_pallas_pruned_exact():
     )
 
     rng = np.random.default_rng(23)
-    B, n, m = 2, 4000, 256
+    B, n, m = 2, 1600, 128
 
     def check(xyz, cen, r, ns, kc=64):
         ref, _ = _ball_query_scan(r, ns, jnp.asarray(xyz), jnp.asarray(cen))

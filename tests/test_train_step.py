@@ -45,7 +45,11 @@ def tiny_setup(B=8):
         num_points=256,
         max_num_obj=8,
         max_det_boxes=8,
-        use_color=False,
+        # use_color=True + steps_per_epoch=1: matches the harness tests'
+        # tiny_config (6-channel clouds from the fake dataset, 1-step
+        # epochs), so the train-step HLO — and its multi-minute XLA:CPU
+        # compile — is shared across the suite via the persistent cache
+        use_color=True,
     )
     model = build_model(
         cfg, roberta_config=tiny_roberta_config(),
@@ -55,7 +59,7 @@ def tiny_setup(B=8):
         batch_size=B, num_points=256, max_text_len=12, max_num_obj=8,
         max_det_boxes=8, n_true_objects=3, n_true_tokens=6, n_true_det=4,
     )
-    optimizer = make_optimizer(cfg, steps_per_epoch=10)
+    optimizer = make_optimizer(cfg, steps_per_epoch=1)
     return cfg, model, batch, optimizer
 
 
@@ -134,6 +138,28 @@ def test_eval_step_matches_schema(mesh_run):
     assert np.isfinite(float(ep["loss"]))
 
 
+def test_checkpoint_save_restore_roundtrip(mesh_run, tmp_path):
+    """orbax save -> load recovers the exact state tree (the full
+    TrainTester train->ckpt->resume->eval cycle runs in the heavy tier,
+    tests/test_harness.py)."""
+    from butd_detr_tpu.train.checkpoint import (
+        latest_checkpoint, load_checkpoint, save_checkpoint,
+    )
+
+    state = mesh_run["state"]
+    path = save_checkpoint(str(tmp_path), 3, state)
+    assert latest_checkpoint(str(tmp_path)) == path
+    restored, start_epoch = load_checkpoint(path, jax.tree_util.tree_map(
+        lambda x: np.zeros_like(x), state
+    ))
+    assert int(start_epoch) == 4  # resume AFTER the saved epoch
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unfreeze_text_encoder_flows_gradients():
     """freeze_text_encoder=False must actually let grads reach the trunk
     (the frozen default stop_gradients it, reference bdetr.py:76-77).
@@ -148,9 +174,23 @@ def test_unfreeze_text_encoder_flows_gradients():
         cfg.freeze_text_encoder = freeze
         m = build_model(cfg, roberta_config=tiny_roberta_config(),
                         backbone_npoints=(64, 32, 16, 8))
-        variables = m.init(jax.random.PRNGKey(0), inputs)
+        # shape-only random init (no eager init run) — the tested property
+        # is gradient FLOW, which only needs nonzero weights
+        shapes = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), inputs))
+        leaves, treedef = jax.tree_util.tree_flatten(shapes)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        variables = jax.tree_util.tree_unflatten(treedef, [
+            (jax.random.normal(k, s.shape, s.dtype) * 0.02
+             if jnp.issubdtype(s.dtype, jnp.floating)
+             else jnp.zeros(s.shape, s.dtype))
+            for k, s in zip(keys, leaves)
+        ])
 
-        def loss_fn(params):
+        # grad of sum(text_feats²) w.r.t. the text trunk only: under jit,
+        # XLA dead-code-eliminates the visual branch, so each arm compiles
+        # just the text path (suite cold-time)
+        def loss_fn(text_params):
+            params = {**variables["params"], "text_encoder": text_params}
             ep = m.apply(
                 {"params": params,
                  "batch_stats": variables.get("batch_stats", {})},
@@ -158,10 +198,10 @@ def test_unfreeze_text_encoder_flows_gradients():
             )
             return jnp.sum(ep["text_feats"].astype(jnp.float32) ** 2)
 
-        g = jax.grad(loss_fn)(variables["params"])
+        g = jax.jit(jax.grad(loss_fn))(variables["params"]["text_encoder"])
         return float(
             sum(jnp.sum(jnp.abs(l))
-                for l in jax.tree_util.tree_leaves(g["text_encoder"]))
+                for l in jax.tree_util.tree_leaves(g))
         )
 
     assert text_grad_norm(freeze=True) == 0.0
@@ -191,9 +231,41 @@ def test_backbone_bf16_option_keeps_f32_interface():
                             max_num_obj=4, max_det_boxes=4,
                             n_true_objects=2, n_true_tokens=4, n_true_det=2)
     inputs = {k: jnp.asarray(batch[k]) for k in INPUT_KEYS if k in batch}
-    variables = model.init(jax.random.PRNGKey(0), inputs)
+    # dtype propagation is static: eval_shape proves the f32 surface with
+    # no eager init/apply (suite cold-time)
+    var_shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), inputs)
+    )
     # params stay f32 (flax param_dtype default); only compute is bf16
-    ep = model.apply(variables, inputs, train=False)
-    assert ep["fp2_features"].dtype == jnp.float32
-    assert ep["last_center"].dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(var_shapes["params"]):
+        assert leaf.dtype == jnp.float32
+    ep_shapes = jax.eval_shape(
+        lambda v: model.apply(v, inputs, train=False), var_shapes
+    )
+    assert ep_shapes["fp2_features"].dtype == jnp.float32
+    assert ep_shapes["last_center"].dtype == jnp.float32
+
+    # one real jitted run: bf16 compute must stay finite. Random params,
+    # but proper BN stats (mean 0, var 1 — a random negative "var" would
+    # NaN the rsqrt).
+    leaves, treedef = jax.tree_util.tree_flatten(var_shapes["params"])
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    params = jax.tree_util.tree_unflatten(treedef, [
+        (jax.random.normal(k, s.shape, s.dtype) * 0.02
+         if jnp.issubdtype(s.dtype, jnp.floating)
+         else jnp.zeros(s.shape, s.dtype))
+        for k, s in zip(keys, leaves)
+    ])
+    stats = jax.tree_util.tree_map_with_path(
+        lambda path, s: (
+            jnp.ones(s.shape, s.dtype)
+            if any(getattr(p, "key", None) == "var" for p in path)
+            else jnp.zeros(s.shape, s.dtype)
+        ),
+        var_shapes["batch_stats"],
+    )
+    variables = {"params": params, "batch_stats": stats}
+    ep = jax.jit(
+        lambda v, i: model.apply(v, i, train=False)
+    )(variables, inputs)
     assert bool(jnp.isfinite(ep["last_center"]).all())
