@@ -356,3 +356,22 @@ def test_dataloader_deterministic_same_epoch(fake_root, scans):
     dl.set_epoch(1)
     b3 = next(iter(dl))
     assert not np.array_equal(b1["point_clouds"], b3["point_clouds"])
+
+
+def test_scan_cache_roundtrip(fake_root, scans, tmp_path):
+    """prepare_data flow: save_scan_cache pickles a split, load_scan_cache
+    restores Scans identical to direct loads (reference save_data,
+    joint_det_dataset.py:1000-1029)."""
+    import os.path as osp
+
+    from butd_detr_tpu.data.scan import load_scan_cache, save_scan_cache
+
+    path = str(tmp_path / "train_v3scans.pkl")
+    save_scan_cache(path, "train", fake_root, num_workers=1,
+                    keep_points=2048)
+    loaded = load_scan_cache(path, osp.join(fake_root, "meta_data"))
+    assert set(loaded) == set(scans)
+    for sid, scan in scans.items():
+        np.testing.assert_array_equal(loaded[sid].orig_pc, scan.orig_pc)
+        np.testing.assert_array_equal(loaded[sid].color, scan.color)
+        assert len(loaded[sid].three_d_objects) == len(scan.three_d_objects)
