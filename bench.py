@@ -65,19 +65,33 @@ def main():
     from butd_detr_tpu.train.step import INPUT_KEYS, build_model
 
     mode = os.environ.get("BENCH_MODE", "train")
-    B = int(os.environ.get("BENCH_BATCH", "24"))
-    N = int(os.environ.get("BENCH_POINTS", "50000"))
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    B = int(os.environ.get("BENCH_BATCH", "8" if tiny else "24"))
+    N = int(os.environ.get("BENCH_POINTS", "512" if tiny else "50000"))
     bf16 = os.environ.get("BENCH_BF16", "0") == "1"
     bb_bf16 = os.environ.get("BENCH_BB_BF16", "0") == "1"
+    # BENCH_TINY=1: smoke the bench harness itself (CI / CPU) — tiny
+    # model, meaningless absolute numbers
+    mno = 8 if tiny else 132
+    L = 12 if tiny else 64
     cfg = Config(
         use_contrastive_align=True, use_soft_token_loss=True, butd=True,
         self_attend=True, use_color=True, batch_size=B, use_bf16=bf16,
-        backbone_bf16=bb_bf16,
+        backbone_bf16=bb_bf16, max_num_obj=mno, max_det_boxes=mno,
+        max_text_len=L,
+        **(dict(num_encoder_layers=1, num_decoder_layers=1,
+                num_target=16, num_points=N) if tiny else {}),
     )
-    model = build_model(cfg, roberta_config=roberta_base_config())
+    if tiny:
+        from butd_detr_tpu.lang import tiny_roberta_config
+
+        model = build_model(cfg, roberta_config=tiny_roberta_config(),
+                            backbone_npoints=(64, 32, 16, 8))
+    else:
+        model = build_model(cfg, roberta_config=roberta_base_config())
     batch = synthetic_batch(
-        batch_size=B, num_points=N, num_feats=3, max_text_len=64,
-        max_num_obj=132, max_det_boxes=132,
+        batch_size=B, num_points=N, num_feats=3, max_text_len=L,
+        max_num_obj=mno, max_det_boxes=mno,
     )
 
     mesh = make_mesh()
@@ -125,8 +139,8 @@ def main():
         n_steps = 8
         host_batches = [
             synthetic_batch(
-                batch_size=B, num_points=N, num_feats=3, max_text_len=64,
-                max_num_obj=132, max_det_boxes=132, seed=i + 1,
+                batch_size=B, num_points=N, num_feats=3, max_text_len=L,
+                max_num_obj=mno, max_det_boxes=mno, seed=i + 1,
             )
             for i in range(n_steps)
         ]
@@ -138,11 +152,56 @@ def main():
         # warm-up one more step so state/buffers are steady
         state, metrics = step(state, device_batches[0], rng)
         _ = float(metrics["loss"])
-        t0 = time.time()
-        for nb in device_batches:
-            state, metrics = step(state, nb, rng)
-        _ = float(metrics["loss"])  # sync once at the end
-        dt = (time.time() - t0) / n_steps
+        if os.environ.get("BENCH_SCAN", "0") == "1":
+            # K steps inside ONE jit via lax.scan: a single dispatch for
+            # the whole window, as a production epoch-chunk loop would
+            # run — removes the per-step host->tunnel dispatch latency
+            # from the measurement. State threads through the carry, so
+            # nothing is loop-invariant-hoisted (PERF.md measurement
+            # discipline #2).
+            from jax import lax
+
+            from butd_detr_tpu.parallel import (
+                batch_sharding, replicated,
+            )
+            from butd_detr_tpu.train import make_train_step
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            inner = make_train_step(model, cfg, optimizer)
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[
+                    {k: jnp.asarray(b[k]) for k in b if hasattr(
+                        b[k], "shape")} for b in host_batches
+                ]
+            )
+            stacked_shd = NamedSharding(mesh, P(None, "dp"))
+            rep = replicated(mesh)
+
+            def scan_steps(state, stacked):
+                def body(s, b):
+                    s2, m = inner(s, b, rng)
+                    return s2, m["loss"]
+                return lax.scan(body, state, stacked)
+
+            jscan = jax.jit(
+                scan_steps,
+                in_shardings=(rep, stacked_shd),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+            stacked = jax.device_put(stacked, stacked_shd)
+            state, losses = jscan(state, stacked)  # compile + warm
+            _ = np.asarray(losses)
+            t0 = time.time()
+            state, losses = jscan(state, stacked)
+            _ = np.asarray(losses)
+            dt = (time.time() - t0) / n_steps
+        else:
+            t0 = time.time()
+            for nb in device_batches:
+                state, metrics = step(state, nb, rng)
+            _ = float(metrics["loss"])  # sync once at the end
+            dt = (time.time() - t0) / n_steps
         metric = "grounding_train_scenes_per_sec_per_chip"
     else:
         fwd = jax.jit(
