@@ -126,3 +126,66 @@ def scatter_rows_add(g, idx, n):
     if jax.default_backend() == "tpu" and n <= MAX_N:
         return scatter_rows_add_pallas(g, idx, n)
     return scatter_rows_add_xla(g, idx, n)
+
+
+# ---------------------------------------------------------------------------
+# Forward mirror: row GATHER as one-hot MXU matmuls.
+#
+# XLA's TPU row gather is per-row-cost dominated (PERF.md r1b: a chunked
+# take_along_axis measured 187 ms where the one-hot matmul form is <1 ms).
+# For the small-source layers (sa2-4 / FP: N <= 4096) the one-hot FLOPs
+# are affordable, so the same (MC, N) lane-iota one-hot used by the
+# scatter above computes out = oh @ src instead of oh^T @ g. At HIGHEST
+# precision each output row is 1.0 * src_row + zeros — bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _make_gather_kernel(N):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    def kernel(src_ref, idx_ref, out_ref):
+        src = src_ref[0]  # (N, C)
+        idx = idx_ref[0]  # (MC, 1)
+        MC = idx.shape[0]
+        cols = lax.broadcasted_iota(jnp.int32, (MC, N), 1)
+        oh = (idx == cols).astype(jnp.float32)
+        out_ref[0] = lax.dot_general(
+            oh,
+            src,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,  # exact row copy
+            preferred_element_type=jnp.float32,
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(2,))
+def gather_rows_pallas(src, idx, interpret=False):
+    """out[b, m, :] = src[b, idx[b, m], :] via one-hot MXU matmuls.
+
+    src: (B, N, C) float32; idx: (B, M) int32 in [0, N). Bit-exact with
+    take_along_axis (each one-hot row selects exactly one source row)."""
+    from jax.experimental import pallas as pl
+
+    B, N0, C = src.shape
+    M = idx.shape[1]
+    N = -(-N0 // LANES) * LANES
+    Cp = -(-C // LANES) * LANES
+    MC = max(LANES, min(512, (2 * 2**20) // (N * 4) // LANES * LANES))
+    src = _pad_to(_pad_to(src.astype(jnp.float32), N, 1), Cp, 2)
+    idx = _pad_to(idx.astype(jnp.int32), MC, 1)
+    Mp = idx.shape[1]
+    idxl = jnp.broadcast_to(idx[:, :, None], (B, Mp, 1))
+    out = pl.pallas_call(
+        _make_gather_kernel(N),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, Cp), jnp.float32),
+        grid=(B, Mp // MC),
+        in_specs=[
+            pl.BlockSpec((1, N, Cp), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, MC, 1), lambda b, c: (b, c, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, MC, Cp), lambda b, c: (b, c, 0)),
+        interpret=interpret,
+    )(src, idxl)
+    return out[:, :M, :C]

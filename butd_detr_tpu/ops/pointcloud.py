@@ -125,6 +125,12 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _gather_points_vjp(points, idx, n):
+    if _use_onehot_gather(points.shape[1], points.dtype):
+        from butd_detr_tpu.ops.pallas_scatter import gather_rows_pallas
+
+        return gather_rows_pallas(
+            points, idx.astype(jnp.int32)
+        ).astype(points.dtype)
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
 
 
@@ -680,10 +686,32 @@ def ball_query(
 def _group_points_vjp(points, idx, n):
     B, N, C = points.shape
     _, m, ns = idx.shape
-    flat = jnp.take_along_axis(
-        points, idx.reshape(B, m * ns, 1).astype(jnp.int32), axis=1
-    )
+    flat_idx = idx.reshape(B, m * ns).astype(jnp.int32)
+    if _use_onehot_gather(N, points.dtype):
+        from butd_detr_tpu.ops.pallas_scatter import gather_rows_pallas
+
+        flat = gather_rows_pallas(points, flat_idx).astype(points.dtype)
+    else:
+        flat = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
     return flat.reshape(B, m, ns, C)
+
+
+def _use_onehot_gather(n: int, dtype) -> bool:
+    """Route small-source f32 row gathers through the one-hot MXU kernel.
+
+    A/B switch: BUTD_ONEHOT_GATHER=1 enables on TPU for N <= MAX_N (same
+    budget as the scatter mirror); default off pending hardware
+    measurement vs the in-model take_along_axis cost (PERF.md)."""
+    import os
+
+    from butd_detr_tpu.ops.pallas_scatter import MAX_N
+
+    return (
+        os.environ.get("BUTD_ONEHOT_GATHER", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and n <= MAX_N
+        and dtype == jnp.float32
+    )
 
 
 def _group_points_fwd(points, idx, n):

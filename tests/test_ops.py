@@ -472,3 +472,26 @@ def test_gather_points_custom_vjp_matches_autodiff():
     (g1,) = vjp1(ct)
     (g2,) = vjp2(ct)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_gather_rows_pallas_interpret_bit_exact():
+    """One-hot MXU row gather == take_along_axis BIT-exactly (each one-hot
+    row selects exactly one source row; 1.0 * x is exact at HIGHEST)."""
+    from butd_detr_tpu.ops.pallas_scatter import gather_rows_pallas
+
+    rng = np.random.RandomState(21)
+    B, N, C, M = 2, 300, 9, 517  # exercises N/C/M padding + chunking
+    src = rng.randn(B, N, C).astype(np.float32)
+    idx = rng.randint(0, N, (B, M)).astype(np.int32)
+    want = np.take_along_axis(src, idx[..., None], axis=1)
+    got = np.asarray(
+        gather_rows_pallas(jnp.asarray(src), jnp.asarray(idx), True)
+    )
+    np.testing.assert_array_equal(got, want)
+    # duplicate-heavy indices (ball-query pad-with-first pattern)
+    idx2 = np.repeat(idx[:, :8], 65, axis=1)[:, :M].astype(np.int32)
+    want2 = np.take_along_axis(src, idx2[..., None], axis=1)
+    got2 = np.asarray(
+        gather_rows_pallas(jnp.asarray(src), jnp.asarray(idx2), True)
+    )
+    np.testing.assert_array_equal(got2, want2)
