@@ -375,3 +375,22 @@ def test_scan_cache_roundtrip(fake_root, scans, tmp_path):
         np.testing.assert_array_equal(loaded[sid].orig_pc, scan.orig_pc)
         np.testing.assert_array_equal(loaded[sid].color, scan.color)
         assert len(loaded[sid].three_d_objects) == len(scan.three_d_objects)
+
+
+def test_dataset_builds_scan_cache_on_demand(fake_root, tmp_path):
+    """scans=None (the production train.py path): the dataset builds
+    {split}_v3scans.pkl on demand, loads it, and serves samples
+    (joint_dataset.py:143-151 <- reference save_data on-demand build)."""
+    import os.path as osp
+    import shutil
+
+    root = str(tmp_path / "root")
+    shutil.copytree(fake_root, root)
+    ds = JointGroundingDataset(
+        split="train", dataset_dict={"sr3d": 1}, test_dataset="sr3d",
+        data_path=root, tokenizer=SimpleTokenizer(max_len=32),
+        butd_cls=True, max_text_len=32, max_num_obj=8,
+    )
+    assert osp.exists(osp.join(root, "train_v3scans.pkl"))
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["center_label"].shape == (8, 3)
