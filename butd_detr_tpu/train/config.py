@@ -132,7 +132,12 @@ def parse_config(argv: Optional[List[str]] = None) -> Config:
         alt = "--" + f.name.replace("_", "-")
         names = [name] if name == alt else [name, alt]
         if f.type in (bool, "bool"):
-            parser.add_argument(*names, action="store_true",
+            # BooleanOptionalAction keeps the reference's positive flag
+            # names (--butd, --use_color, ...) and adds --no-<flag>, so
+            # True-by-default options (e.g. backbone_bf16) can be turned
+            # off from the CLI
+            parser.add_argument(*names,
+                                action=argparse.BooleanOptionalAction,
                                 default=f.default)
         elif f.type in (List[int], "List[int]"):
             parser.add_argument(*names, type=int, nargs="+",

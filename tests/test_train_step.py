@@ -269,3 +269,18 @@ def test_backbone_bf16_option_keeps_f32_interface():
         lambda v, i: model.apply(v, i, train=False)
     )(variables, inputs)
     assert bool(jnp.isfinite(ep["last_center"]).all())
+
+
+def test_parse_config_reference_flags_and_negation():
+    """CLI keeps the reference's positive flag names (main_utils.py:31-119)
+    and adds --no-<flag> so True-by-default booleans can be disabled."""
+    from butd_detr_tpu.train.config import parse_config
+
+    c = parse_config([
+        "--butd", "--use_color", "--batch_size", "4",
+        "--lr_decay_epochs", "25", "26", "--unknown_flag_is_ignored",
+    ])
+    assert c.butd and c.use_color and c.batch_size == 4
+    assert c.lr_decay_epochs == [25, 26]
+    assert not parse_config(["--butd", "--no-butd"]).butd
+    assert not parse_config(["--no-freeze_text_encoder"]).freeze_text_encoder
