@@ -112,10 +112,16 @@ class DataLoader:
 
     def _get_pool(self):
         if self._pool is None and self.num_workers > 0:
+            # spawn, not fork: the loader lives inside the (multithreaded)
+            # JAX training process, and forking it can deadlock. Workers
+            # receive the dataset once via the initializer pickle.
+            import multiprocessing as mp
+
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
                 initializer=_worker_init,
                 initargs=(self.dataset,),
+                mp_context=mp.get_context("spawn"),
             )
         return self._pool
 

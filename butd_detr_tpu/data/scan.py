@@ -290,7 +290,12 @@ def load_scans_parallel(
     keep_points: int = KEEP_POINTS,
 ) -> Dict[str, Scan]:
     """Load many scans with a process pool (reference save_data,
-    joint_det_dataset.py:1000-1029)."""
+    joint_det_dataset.py:1000-1029).
+
+    Spawn (not fork) workers: this can run after JAX is initialized (the
+    dataset builds the cache on demand inside the training process), and
+    forking a multithreaded JAX process can deadlock."""
+    import multiprocessing as mp
     from concurrent.futures import ProcessPoolExecutor
 
     if num_workers <= 1:
@@ -300,7 +305,9 @@ def load_scans_parallel(
                       keep_points=keep_points)
             for sid in scan_ids
         }
-    with ProcessPoolExecutor(max_workers=num_workers) as ex:
+    with ProcessPoolExecutor(
+        max_workers=num_workers, mp_context=mp.get_context("spawn")
+    ) as ex:
         scans = list(
             ex.map(
                 _load_one,

@@ -394,3 +394,20 @@ def test_dataset_builds_scan_cache_on_demand(fake_root, tmp_path):
     assert osp.exists(osp.join(root, "train_v3scans.pkl"))
     s = ds.get(0, np.random.RandomState(0))
     assert s["center_label"].shape == (8, 3)
+
+
+def test_loader_spawn_workers(fake_root, scans):
+    """Worker processes must use spawn (fork after JAX init can deadlock)
+    and must not touch the JAX backend — this test hangs if either breaks
+    when no accelerator is reachable."""
+    ds = dataset(fake_root, scans, butd_cls=True, max_num_obj=8)
+    loader = DataLoader(ds, batch_size=2, seed=0, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    b = batches[0]
+    assert b["center_label"].shape == (2, 8, 3)
+    # same seeds => same samples as the serial loader
+    serial = list(DataLoader(ds, batch_size=2, seed=0, num_workers=0))
+    np.testing.assert_array_equal(
+        b["point_clouds"], serial[0]["point_clouds"]
+    )
