@@ -161,9 +161,7 @@ def main():
             # discipline #2).
             from jax import lax
 
-            from butd_detr_tpu.parallel import (
-                batch_sharding, replicated,
-            )
+            from butd_detr_tpu.parallel import replicated
             from butd_detr_tpu.train import make_train_step
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -49,6 +49,16 @@ from butd_detr_tpu.data.scannet_config import (
 NUM_CLASSES = 485
 MAX_NUM_OBJ = 132
 
+
+def _fit_rows(a: np.ndarray, width: int) -> np.ndarray:
+    """Pad (with zeros) or truncate axis 0 to `width`."""
+    if a.shape[0] == width:
+        return a
+    if a.shape[0] > width:
+        return a[:width]
+    pad = [(0, width - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, pad)
+
 DET18_NAMES = (
     "cabinet", "bed", "chair", "couch", "table", "door",
     "window", "bookshelf", "picture", "counter", "desk", "curtain",
@@ -84,6 +94,7 @@ class JointGroundingDataset:
         max_text_len: int = 256,
         scans: Optional[Dict] = None,
         max_num_obj: int = MAX_NUM_OBJ,
+        max_det_boxes: Optional[int] = None,
     ):
         if dataset_dict is None:
             dataset_dict = {"sr3d": 1, "scannet": 10}
@@ -102,13 +113,16 @@ class JointGroundingDataset:
         self.augment = split == "train"
         self.augment_det = augment_det
         self.max_text_len = max_text_len
-        # GT/detected/scene box pad width. The reference hard-pads to
+        # GT/scene box pad width. The reference hard-pads to
         # MAX_NUM_OBJ=132 (joint_det_dataset.py:33); smaller values shrink
         # the matcher/criterion working set for datasets whose scenes have
-        # fewer objects (and the tests' compile graphs). Scenes with more
-        # objects than this are truncated exactly like the reference
-        # truncates past 132.
+        # fewer objects (and the tests' compile graphs). Annotations /
+        # detections past the pad are truncated. `max_det_boxes` sets the
+        # detected-box stream width separately (default: same).
         self.max_num_obj = max_num_obj
+        self.max_det_boxes = (
+            max_det_boxes if max_det_boxes is not None else max_num_obj
+        )
         self.joint_det = (
             "scannet" in dataset_dict
             and len(dataset_dict) > 1
@@ -478,6 +492,9 @@ class JointGroundingDataset:
             tids = [anno["target_id"]]
             if self.detect_intermediate:
                 tids = tids + list(anno.get("anchor_ids", []))
+        # truncate past the pad width (the reference's 132 always fits;
+        # a narrow max_num_obj must truncate, per the __init__ contract)
+        tids = tids[: self.max_num_obj]
         point_instance_label = -np.ones(len(pc))
         for t, tid in enumerate(tids):
             point_instance_label[scan.three_d_objects[tid]["points"]] = t
@@ -537,10 +554,10 @@ class JointGroundingDataset:
 
     def _get_detected_objects(self, scan_id: str, augmentations: Dict, rng):
         """GroupFree detected-box stream (joint_det_dataset.py:563-624)."""
-        boxes = np.zeros((self.max_num_obj, 6))
-        mask = np.zeros(self.max_num_obj, bool)
-        class_ids = np.zeros(self.max_num_obj)
-        logits = np.zeros((self.max_num_obj, NUM_CLASSES), np.float32)
+        boxes = np.zeros((self.max_det_boxes, 6))
+        mask = np.zeros(self.max_det_boxes, bool)
+        class_ids = np.zeros(self.max_det_boxes)
+        logits = np.zeros((self.max_det_boxes, NUM_CLASSES), np.float32)
 
         path = osp.join(
             self.data_path,
@@ -549,18 +566,21 @@ class JointGroundingDataset:
         )
         det = np.load(path, allow_pickle=True).item()
         corner = np.asarray(det["box"])
-        n = len(det["class"])
-        assert n < self.max_num_obj and n == corner.shape[0]
+        assert len(det["class"]) == corner.shape[0]
+        # truncate to the pad width (the reference's 132 always fits a
+        # GroupFree detector's output; a narrow pad must truncate)
+        n = min(len(det["class"]), self.max_det_boxes)
         boxes[:n] = np.concatenate(
-            [(corner[:, :3] + corner[:, 3:]) / 2,
-             corner[:, 3:] - corner[:, :3]],
+            [(corner[:n, :3] + corner[:n, 3:]) / 2,
+             corner[:n, 3:] - corner[:n, :3]],
             axis=1,
         )
         mask[:n] = True
         class_ids[:n] = [
-            self.dc.nyu40id2class[self.label_map[c]] for c in det["class"]
+            self.dc.nyu40id2class[self.label_map[c]]
+            for c in det["class"][:n]
         ]
-        logits[:n] = det["logits"]
+        logits[:n] = np.asarray(det["logits"])[:n]
 
         if self.augment and augmentations:
             boxes = transform_boxes(boxes, augmentations)
@@ -646,6 +666,7 @@ class JointGroundingDataset:
             assert anno["utterance"] == anno["span_utterance"]
             positive_map = np.zeros((self.max_num_obj, NUM_BINS), np.float32)
             pm = np.asarray(anno["pred_pos_map"]).reshape(-1, NUM_BINS)
+            pm = pm[: self.max_num_obj]  # truncate to the pad width
             positive_map[: len(pm)] = pm
         # Truncation guard: the model only sees max_text_len tokens
         # (host-side tokenization; the reference tokenizes unbounded
@@ -665,27 +686,28 @@ class JointGroundingDataset:
             scan, raw_pc, rng
         )
 
+        D = self.max_det_boxes
         if self.butd:
             (
                 det_boxes, det_mask, det_class_ids, det_logits
             ) = self._get_detected_objects(anno["scan_id"], augmentations, rng)
         else:
-            det_boxes = np.zeros((self.max_num_obj, 6))
-            det_mask = np.zeros(self.max_num_obj, bool)
-            det_class_ids = np.zeros(self.max_num_obj)
-            det_logits = np.zeros((self.max_num_obj, NUM_CLASSES), np.float32)
+            det_boxes = np.zeros((D, 6))
+            det_mask = np.zeros(D, bool)
+            det_class_ids = np.zeros(D)
+            det_logits = np.zeros((D, NUM_CLASSES), np.float32)
 
         if self.butd_gt:  # perfect detector (joint_det_dataset.py:712-716)
-            det_boxes = all_bboxes
-            det_mask = all_bbox_label_mask
-            det_class_ids = class_ids
+            det_boxes = _fit_rows(all_bboxes, D)
+            det_mask = _fit_rows(all_bbox_label_mask, D)
+            det_class_ids = _fit_rows(class_ids, D)
         if self.butd_cls:  # perfect proposals (joint_det_dataset.py:718-729)
-            det_boxes = all_bboxes
-            det_mask = all_bbox_label_mask
-            det_class_ids = np.zeros(self.max_num_obj)
+            det_boxes = _fit_rows(all_bboxes, D)
+            det_mask = _fit_rows(all_bbox_label_mask, D)
+            det_class_ids = np.zeros(D)
             classes = np.array(self.cls_results[anno["scan_id"]])
             classes[classes == -1] = 325
-            k = int(all_bbox_label_mask.sum())
+            k = min(int(all_bbox_label_mask.sum()), D)
             det_class_ids[:k] = classes[:k]
 
         # 18-class labels for detection eval (joint_det_dataset.py:731-739)

@@ -114,7 +114,12 @@ class DataLoader:
         if self._pool is None and self.num_workers > 0:
             # spawn, not fork: the loader lives inside the (multithreaded)
             # JAX training process, and forking it can deadlock. Workers
-            # receive the dataset once via the initializer pickle.
+            # receive the dataset once via the initializer pickle — at
+            # real-ScanNet scale that serializes the scans dict per worker
+            # at pool creation (one-time, amortized over the epoch) and
+            # duplicates it in worker RSS where fork shared pages; if that
+            # bites, point workers at the {split}_v3scans.pkl cache and
+            # let them load it themselves instead of pickling `dataset`.
             import multiprocessing as mp
 
             self._pool = ProcessPoolExecutor(

@@ -101,60 +101,48 @@ class GroundingPredictor:
         """Load either an orbax checkpoint dir or a torch ``.pth`` file."""
         import os.path as osp
 
-        pred = None
+        from butd_detr_tpu.data.synthetic import synthetic_batch
+
+        pred = cls(cfg, {"params": {}, "batch_stats": {}}, tokenizer, **kw)
+        batch = synthetic_batch(
+            batch_size=1, num_points=cfg.num_points,
+            num_feats=cfg.input_feature_dim,
+            max_text_len=cfg.max_text_len,
+            max_num_obj=cfg.max_num_obj,
+            max_det_boxes=cfg.max_det_boxes,
+        )
         if osp.isdir(path):  # orbax
             from butd_detr_tpu.train.checkpoint import load_checkpoint
             from butd_detr_tpu.train.optimizer import make_optimizer
             from butd_detr_tpu.train.step import init_state
-            from butd_detr_tpu.data.synthetic import synthetic_batch
 
-            pred = cls(cfg, {"params": {}, "batch_stats": {}}, tokenizer,
-                       **kw)
-            batch = synthetic_batch(
-                batch_size=1, num_points=cfg.num_points,
-                num_feats=cfg.input_feature_dim,
-                max_text_len=cfg.max_text_len,
-                max_num_obj=cfg.max_num_obj,
-                max_det_boxes=cfg.max_det_boxes,
-            )
             opt = make_optimizer(cfg, steps_per_epoch=1)
             template = init_state(
                 pred.model, opt, batch, jax.random.PRNGKey(0)
             )
             state, _ = load_checkpoint(path, template)
-            pred.variables = {
-                "params": state.params, "batch_stats": state.batch_stats,
+            params, stats = state.params, state.batch_stats
+        else:  # torch .pth via the converter (keys may carry DDP prefix)
+            import torch
+
+            from butd_detr_tpu.train.torch_convert import (
+                convert_torch_checkpoint,
+            )
+
+            sd = torch.load(path, map_location="cpu")
+            sd = sd.get("model", sd)
+            inputs = {
+                k: jnp.asarray(batch[k]) for k in INPUT_KEYS if k in batch
             }
-            return pred
-        # torch .pth via the converter (keys may carry the DDP prefix)
-        import torch
-
-        from butd_detr_tpu.data.synthetic import synthetic_batch
-        from butd_detr_tpu.train.torch_convert import (
-            convert_torch_checkpoint,
-        )
-
-        sd = torch.load(path, map_location="cpu")
-        sd = sd.get("model", sd)
-        pred = cls(cfg, {"params": {}, "batch_stats": {}}, tokenizer, **kw)
-        batch = synthetic_batch(
-            batch_size=1, num_points=cfg.num_points,
-            num_feats=cfg.input_feature_dim,
-            max_text_len=cfg.max_text_len, max_num_obj=cfg.max_num_obj,
-            max_det_boxes=cfg.max_det_boxes,
-        )
-        inputs = {
-            k: jnp.asarray(batch[k]) for k in INPUT_KEYS if k in batch
-        }
-        shapes = jax.eval_shape(
-            lambda: pred.model.init(jax.random.PRNGKey(0), inputs)
-        )
-        zeros = jax.tree_util.tree_map(
-            lambda s: np.zeros(s.shape, s.dtype), shapes
-        )
-        params, stats = convert_torch_checkpoint(
-            sd, zeros["params"], zeros.get("batch_stats", {})
-        )
+            shapes = jax.eval_shape(
+                lambda: pred.model.init(jax.random.PRNGKey(0), inputs)
+            )
+            zeros = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes
+            )
+            params, stats = convert_torch_checkpoint(
+                sd, zeros["params"], zeros.get("batch_stats", {})
+            )
         pred.variables = {"params": params, "batch_stats": stats}
         return pred
 
@@ -169,10 +157,13 @@ class GroundingPredictor:
         _, pmap = token_positive_map(
             self.tokenizer, utterance, [phrase], max_num_obj=1,
         )
-        if pmap[0].sum() == 0:
+        L = self.cfg.max_text_len
+        if pmap[0, :L].sum() == 0:
+            # either never tokenized, or every span token sits past the
+            # model's max_text_len window (where scores are zero-padded)
             raise ValueError(
                 f"phrase {phrase!r}: its tokens fall past max_text_len "
-                f"({self.cfg.max_text_len}) in {utterance!r}"
+                f"({L}) in {utterance!r}"
             )
         return (pmap > 0).astype(np.float32)
 
@@ -218,6 +209,14 @@ class GroundingPredictor:
             "det_class_ids": cids[None],
         }
         inputs = {k: v for k, v in inputs.items() if k in INPUT_KEYS}
+        if mode == "bbf" and not cfg.use_contrastive_align:
+            raise ValueError(
+                "mode='bbf' scores queries against contrastive projections;"
+                " this checkpoint was built with use_contrastive_align="
+                "False — use mode='bbs'"
+            )
+        if mode not in ("bbf", "bbs"):
+            raise ValueError(f"unknown mode {mode!r} (use 'bbf' or 'bbs')")
         ep = self._fwd(self.variables, inputs)
 
         pmap = self._span_map(utterance, phrase or utterance.rstrip(". "))

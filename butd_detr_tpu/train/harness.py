@@ -126,6 +126,7 @@ class TrainTester:
             overfit=cfg.debug,
             max_text_len=cfg.max_text_len,
             max_num_obj=cfg.max_num_obj,
+            max_det_boxes=cfg.max_det_boxes,
         )
         train_dataset = JointGroundingDataset(
             dataset_dict=dataset_dict,

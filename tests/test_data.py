@@ -411,3 +411,34 @@ def test_loader_spawn_workers(fake_root, scans):
     np.testing.assert_array_equal(
         b["point_clouds"], serial[0]["point_clouds"]
     )
+
+
+def test_narrow_pad_truncates_instead_of_crashing(fake_root, scans):
+    """Narrow max_num_obj must TRUNCATE (reference 132 always fits):
+    detected boxes past max_det_boxes, target ids and pred-span rows past
+    max_num_obj all clip instead of asserting/broadcast-erroring."""
+    # fake scans carry 4 detected boxes; max_det_boxes=2 must truncate
+    ds = dataset(fake_root, scans, butd=True, max_num_obj=8,
+                 max_det_boxes=2)
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["det_boxes"].shape == (2, 6)
+    assert s["det_bbox_label_mask"].sum() == 2
+    # GT pads keep max_num_obj width
+    assert s["center_label"].shape == (8, 3)
+    assert s["positive_map"].shape == (8, 256)
+
+
+def test_max_det_boxes_widens_independently(fake_root, scans):
+    """max_det_boxes controls the det stream separately from the GT pad,
+    including the butd_cls branch that copies GT boxes into it."""
+    ds = dataset(fake_root, scans, butd_cls=True, max_num_obj=8,
+                 max_det_boxes=16)
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["det_boxes"].shape == (16, 6)
+    assert s["det_bbox_label_mask"].shape == (16,)
+    assert s["center_label"].shape == (8, 3)
+    # copied GT boxes survive the width change
+    k = int(s["box_label_mask"].sum())
+    np.testing.assert_array_equal(
+        s["det_boxes"][:k], s["all_bboxes"][:k]
+    )

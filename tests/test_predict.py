@@ -153,3 +153,31 @@ def test_predict_cli_end_to_end(tmp_path):
     out = json.loads(out_json)
     assert len(out["boxes_cxcyczwhd"]) == 10
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_predict_mode_validation(tiny_predictor):
+    cfg, pred, _ = tiny_predictor
+    cloud = np.random.RandomState(3).rand(500, 6).astype(np.float32)
+    with pytest.raises(ValueError):
+        pred.predict(cloud, "the chair", phrase="chair", mode="nope")
+    # bbf against a non-contrastive checkpoint must fail loudly
+    import dataclasses
+
+    pred2 = GroundingPredictor(
+        dataclasses.replace(cfg, use_contrastive_align=False),
+        pred.variables, pred.tokenizer,
+        roberta_config=tiny_roberta_config(),
+        backbone_npoints=(64, 32, 16, 8),
+    )
+    with pytest.raises(ValueError):
+        pred2.predict(cloud, "the chair", phrase="chair", mode="bbf")
+
+
+def test_predict_phrase_past_max_text_len_raises(tiny_predictor):
+    """Spans whose tokens land past the model's max_text_len window score
+    zero everywhere — must raise, not silently return arbitrary boxes."""
+    cfg, pred, _ = tiny_predictor
+    cloud = np.random.RandomState(4).rand(500, 6).astype(np.float32)
+    long_utt = " ".join(["word"] * (cfg.max_text_len + 4)) + " chair"
+    with pytest.raises(ValueError):
+        pred.predict(cloud, long_utt, phrase="chair")
