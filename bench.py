@@ -69,7 +69,9 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "8" if tiny else "24"))
     N = int(os.environ.get("BENCH_POINTS", "512" if tiny else "50000"))
     bf16 = os.environ.get("BENCH_BF16", "0") == "1"
-    bb_bf16 = os.environ.get("BENCH_BB_BF16", "0") == "1"
+    # follows the Config default (backbone bf16 ON); BENCH_BB_BF16=0
+    # forces the strict-f32 arm for A/B
+    bb_bf16 = os.environ.get("BENCH_BB_BF16", "1") == "1"
     # BENCH_TINY=1: smoke the bench harness itself (CI / CPU) — tiny
     # model, meaningless absolute numbers
     mno = 8 if tiny else 132

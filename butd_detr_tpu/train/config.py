@@ -98,10 +98,15 @@ class Config:
     profile_dir: Optional[str] = None
     profile_steps: int = 5
     use_bf16: bool = False
-    # bf16 compute for the PointNet++ MLP stacks only (geometry and BN
-    # stats stay f32); the backbone is HBM-bandwidth-bound and this
-    # halves its intermediate traffic. Independent of use_bf16.
-    backbone_bf16: bool = False
+    # bf16 compute for the PointNet++ MLP stacks only (geometry, ball
+    # query/FPS, BN statistics and everything downstream stay f32); the
+    # backbone is HBM-bandwidth-bound and this halves its intermediate
+    # traffic (+7% step throughput measured, PERF.md). Default ON — the
+    # TPU-idiomatic dtype; a 1501-step same-seed control run shows
+    # trajectory parity with f32 (PERF.md r2 study). Disable with
+    # --no-backbone_bf16 for strict f32 reference parity. Independent of
+    # use_bf16 (which covers the transformer stack too).
+    backbone_bf16: bool = True
     freeze_text_encoder: bool = True
 
     def __post_init__(self):
