@@ -44,11 +44,16 @@ GT = 16  # tiles per grid program (GT*TR == 128 sublane rows)
 BIGKEY = 2**30  # python int: jnp scalars would be captured as traced consts
 
 
-def _ball_select_kernel(nsample, r2, k_chunks, coords_ref, ids_ref,
-                        cen_ref, out_ref):
+def _ball_select_kernel(nsample, r2, k_chunks, n_chunks, coords_ref,
+                        ids_ref, cen_ref, out_ref):
     """coords_ref (3*K, GT, C) f32 chunk planes (x block, y block, z block);
     ids_ref (K, GT, C) i32 ascending per (chunk, tile) row;
-    cen_ref (3*GT*TR, C) f32, every lane equal; out_ref (GT*TR, C) i32."""
+    cen_ref (3*GT*TR, C) f32, every lane equal; out_ref (GT*TR, C) i32.
+
+    `k_chunks` (static) is the plane stride; `n_chunks` (traced i32 scalar,
+    <= k_chunks) is the loop trip count — chunk slots past each tile's
+    relevant count hold the pure-sentinel chunk (coords 1e9, zero hits), so
+    stopping at the per-program max relevant count is exact."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -140,7 +145,7 @@ def _ball_select_kernel(nsample, r2, k_chunks, coords_ref, ids_ref,
 
     carry0 = jnp.full((ROWS, LANES), BIGKEY, jnp.int32)
     nf0 = jnp.zeros((ROWS, 1), jnp.int32)
-    carry, nfound = lax.fori_loop(0, k_chunks, body, (carry0, nf0))
+    carry, nfound = lax.fori_loop(0, n_chunks, body, (carry0, nf0))
 
     # one reversal: descending carry -> ascending output lanes
     k = 1
@@ -168,11 +173,18 @@ def ball_query_select_pallas(
     coords: jax.Array,  # (P2, 3*K, GT, C) f32 gathered chunk planes
     ids: jax.Array,  # (P2, K, GT, C) i32 ascending per chunk row
     centers: jax.Array,  # (P2, 3*GT*TR, C) f32 lane-broadcast centers
+    counts: jax.Array,  # (P2,) i32 per-program chunk trip count <= k_chunks
     *,
     k_chunks: int,
     interpret: bool = False,
 ) -> jax.Array:
     """Run the selection kernel over P2 groups of GT tiles.
+
+    `counts[p]` bounds program p's chunk loop (the max relevant-chunk
+    count over its GT tiles, computed by the prep); slots past each
+    tile's own count hold the pure-sentinel chunk, so the short loop is
+    exact while cutting the dominant roll-network cost from the static
+    budget to the data's actual density.
 
     Returns (P2, GT*TR, C) i32; lanes [0, nsample) hold the
     reference-exact neighbor ids (original indexing).
@@ -182,25 +194,33 @@ def ball_query_select_pallas(
 
     P2 = coords.shape[0]
 
-    def kernel(c_ref, i_ref, cen_ref, o_ref):
+    def kernel(counts_ref, c_ref, i_ref, cen_ref, o_ref):
         _ball_select_kernel(
             nsample, float(radius) * float(radius), k_chunks,
+            counts_ref[pl.program_id(0)],
             c_ref.at[0], i_ref.at[0], cen_ref.at[0], o_ref.at[0],
         )
 
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(P2,),
         in_specs=[
             pl.BlockSpec((1, 3 * k_chunks, GT, LANES),
-                         lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda p, _: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k_chunks, GT, LANES),
-                         lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM),
+                         lambda p, _: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * GT * TR, LANES),
-                         lambda p: (p, 0, 0), memory_space=pltpu.VMEM),
+                         lambda p, _: (p, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, GT * TR, LANES), lambda p: (p, 0, 0),
+        out_specs=pl.BlockSpec((1, GT * TR, LANES), lambda p, _: (p, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P2, GT * TR, LANES), jnp.int32),
         interpret=interpret,
-    )(coords, ids, centers)
+    )(jnp.clip(counts.astype(jnp.int32), 0, k_chunks), coords, ids, centers)

@@ -527,6 +527,7 @@ def _ball_query_pruned_pallas(
     tpad = (-T) % GT
     cids_p = chunk_ids
     tiles_p = tiles
+    counts_t = count_rel  # (B, T) per-tile relevant-chunk counts
     if tpad:
         cids_p = jnp.concatenate(
             [cids_p, jnp.broadcast_to(
@@ -536,9 +537,17 @@ def _ball_query_pruned_pallas(
             [tiles_p, jnp.broadcast_to(
                 tiles_p[:, -1:], (B, tpad, TR, 3))], axis=1
         )
+        counts_t = jnp.concatenate(
+            [counts_t, jnp.broadcast_to(counts_t[:, -1:], (B, tpad))],
+            axis=1,
+        )
     Tp = T + tpad
     G = Tp // GT
     P2 = B * G
+    # per-program (16-tile group) chunk-loop bound: beyond each tile's own
+    # relevant count its chunk slots are the pure-sentinel chunk, so the
+    # max over the group is an exact trip count for the kernel
+    counts_prog = counts_t.reshape(B, G, GT).max(axis=2).reshape(P2)
     # kernel rows are r*GT + tile (pltpu.repeat tiles rather than
     # blocks, so the chunk row for tile t lands on rows {t, GT+t, ...})
     cen_b = jnp.broadcast_to(
@@ -575,7 +584,7 @@ def _ball_query_pruned_pallas(
             )  # (P2, 3k, GT, C)
             gids = group(gid)
             out = ball_query_select_pallas(
-                float(radius), nsample, coords, gids, cen_b,
+                float(radius), nsample, coords, gids, cen_b, counts_prog,
                 k_chunks=k, interpret=interpret,
             )
             idx_sorted = (
