@@ -17,6 +17,13 @@ one-hot entries are exact in f32, so each output row is an exact sum of the
 selected cotangent rows (summation order differs from XLA's scatter; values
 agree to reassociation).
 
+Precision: the one-hot operand is exact in bf16 (0/1), so instead of
+`Precision.HIGHEST` (6 MXU passes: both operands split 3-way) only the
+payload is split into bf16 components hi = bf16(v), mid = bf16(v - hi),
+lo = bf16(v - hi - mid). hi+mid+lo == v exactly (each residual keeps <= 8
+significant bits), products against 0/1 are exact, and the MXU accumulates
+in f32 — the same per-component sums HIGHEST computes, in 3 passes (2x).
+
 Shapes here are tiny by MXU standards (N<=2048, C<=384 after padding), so
 FLOP cost is ~0.5 TFLOP at B=24 across sa2-sa4 — milliseconds, vs the
 serialized scatter's ~100 ms.
@@ -27,6 +34,33 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _bf16_split3(v):
+    """Exact 3-way bf16 decomposition of f32: hi + mid + lo == v.
+
+    f32 carries 24 mantissa bits; each bf16 component captures the top 8
+    of the remaining residual, so the third residual is exactly
+    representable and the sum reconstructs v bit-exactly."""
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_dot3(oh_bool, v, dim_numbers):
+    """dot_general(one-hot, v) with f32-exact results in 3 bf16 MXU
+    passes (see module docstring)."""
+    oh = oh_bool.astype(jnp.bfloat16)
+    acc = None
+    for comp in _bf16_split3(v):
+        part = lax.dot_general(
+            oh, comp, dimension_numbers=dim_numbers,
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
 
 # largest N for which the (N, C) accumulator + (MC, N) one-hot tile fit the
 # ~16 MB scoped VMEM comfortably; callers fall back to XLA scatter above it
@@ -49,17 +83,10 @@ def _make_kernel(N):
         # one-hot (MC, N): compare the index column against the absolute
         # lane index (lane-dim broadcast of a size-1 lane operand)
         cols = lax.broadcasted_iota(jnp.int32, (MC, N), 1)
-        oh = (idx == cols).astype(jnp.float32)
-        # (N, C) += (MC, N)^T @ (MC, C) — contract the chunk dim on the MXU
-        out_ref[0] += lax.dot_general(
-            oh,
-            g,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            # HIGHEST: the MXU's default bf16 multiply would round g;
-            # with exact 0/1 one-hot rows, f32 passes make the sum exact
-            precision=lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        oh = idx == cols
+        # (N, C) += (MC, N)^T @ (MC, C) — contract the chunk dim on the
+        # MXU; 3 bf16 passes reproduce HIGHEST's exact per-component sums
+        out_ref[0] += _onehot_dot3(oh, g, (((0,), (0,)), ((), ())))
 
     return kernel
 
@@ -148,14 +175,9 @@ def _make_gather_kernel(N):
         idx = idx_ref[0]  # (MC, 1)
         MC = idx.shape[0]
         cols = lax.broadcasted_iota(jnp.int32, (MC, N), 1)
-        oh = (idx == cols).astype(jnp.float32)
-        out_ref[0] = lax.dot_general(
-            oh,
-            src,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST,  # exact row copy
-            preferred_element_type=jnp.float32,
-        )
+        oh = idx == cols
+        # exact row copy: hi_j + mid_j + lo_j == src_j bit-exactly
+        out_ref[0] = _onehot_dot3(oh, src, (((1,), (0,)), ((), ())))
 
     return kernel
 

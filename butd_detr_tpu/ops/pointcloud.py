@@ -277,16 +277,38 @@ def _onehot_gather(chunk_ids, table, nc):
 
     XLA's general gather is catastrophically slow on TPU for this pattern
     (~190 ms at production shape); a one-hot matmul rides the MXU instead
-    (<1 ms). EXACT for f32 payloads: with HIGHEST precision the bf16x3
-    product decomposition of value*1.0 reconstructs the value bit-exactly
-    and the contraction has a single nonzero term per output.
+    (<1 ms). EXACT for f32 payloads in 3 bf16 passes: the one-hot operand
+    is exact in bf16, the payload splits into hi/mid/lo bf16 components
+    with hi + mid + lo == value bit-exactly (each residual keeps <= 8
+    significant bits), and the contraction has a single nonzero term per
+    output — half the MXU passes of Precision.HIGHEST.
+
+    The optimization_barriers are LOAD-BEARING: XLA:TPU's algebraic
+    simplifier rewrites the residual pattern `t - f32(bf16(t))` into
+    something inexact (measured: hi+mid+lo was off by a mid-scale ulp and
+    the gathered output collapsed to exactly bf16(value)), and would also
+    happily refactor `oh@hi + oh@mid + oh@lo` into `oh @ (hi+mid+lo)`
+    with the operand sum in bf16. Barriers on the narrowed components and
+    on each partial product pin the exact decomposition (verified
+    bit-exact vs take_along_axis on TPU at the production shape).
     """
     oh = (chunk_ids[..., None] == jnp.arange(nc, dtype=jnp.int32)).astype(
-        jnp.float32
+        jnp.bfloat16
     )
-    return jnp.einsum(
-        "bkc,bcl->bkl", oh, table, precision=lax.Precision.HIGHEST
-    )
+    hi = lax.optimization_barrier(table.astype(jnp.bfloat16))
+    r1 = table - hi.astype(jnp.float32)
+    mid = lax.optimization_barrier(r1.astype(jnp.bfloat16))
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for comp in (hi, mid, lo):
+        part = lax.optimization_barrier(
+            jnp.einsum(
+                "bkc,bcl->bkl", oh, comp,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        out = part if out is None else out + part
+    return out
 
 
 def _ball_query_pruned(

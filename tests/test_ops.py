@@ -495,3 +495,29 @@ def test_gather_rows_pallas_interpret_bit_exact():
         gather_rows_pallas(jnp.asarray(src), jnp.asarray(idx2), True)
     )
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_onehot_gather_bit_exact():
+    """_onehot_gather (pointcloud.py) == take_along_axis BIT-exactly.
+
+    The 3-pass bf16 decomposition is exact ONLY with the
+    optimization_barriers in place: on TPU, XLA's algebraic simplifier
+    rewrites the residual pattern `t - f32(bf16(t))` inexactly and can
+    refactor the three one-hot matmuls into one bf16-summed operand,
+    collapsing outputs to bf16(value). Verified on real TPU hardware;
+    this CPU run pins the code path and the contract.
+    """
+    from butd_detr_tpu.ops.pointcloud import _onehot_gather
+
+    rng = np.random.RandomState(7)
+    B, nc, C, M = 2, 392, 128, 700
+    table = (rng.randn(B, nc, C) * 1.5).astype(np.float32)
+    table[:, -1] = 1e9  # Hilbert-pad sentinel chunk
+    ids = rng.randint(0, nc, (B, M)).astype(np.int32)
+    got = np.asarray(
+        jax.jit(lambda i, t: _onehot_gather(i, t, nc))(
+            jnp.asarray(ids), jnp.asarray(table)
+        )
+    )
+    want = np.take_along_axis(table, ids[..., None], axis=1)
+    np.testing.assert_array_equal(got, want)
