@@ -49,12 +49,16 @@ def _bf16_split3(v):
     return hi, mid, lo
 
 
-def _onehot_dot3(oh_bool, v, dim_numbers):
-    """dot_general(one-hot, v) with f32-exact results in 3 bf16 MXU
-    passes (see module docstring)."""
+def _onehot_dot(oh_bool, v, dim_numbers):
+    """dot_general(one-hot, v) with exact results on the MXU.
+
+    bf16 payloads need a single pass (the values are exact as-is and the
+    products against 0/1 are exact, f32 accumulation); f32 payloads use
+    the 3-pass hi/mid/lo decomposition (see module docstring)."""
     oh = oh_bool.astype(jnp.bfloat16)
+    comps = (v,) if v.dtype == jnp.bfloat16 else _bf16_split3(v)
     acc = None
-    for comp in _bf16_split3(v):
+    for comp in comps:
         part = lax.dot_general(
             oh, comp, dimension_numbers=dim_numbers,
             preferred_element_type=jnp.float32,
@@ -85,8 +89,8 @@ def _make_kernel(N):
         cols = lax.broadcasted_iota(jnp.int32, (MC, N), 1)
         oh = idx == cols
         # (N, C) += (MC, N)^T @ (MC, C) — contract the chunk dim on the
-        # MXU; 3 bf16 passes reproduce HIGHEST's exact per-component sums
-        out_ref[0] += _onehot_dot3(oh, g, (((0,), (0,)), ((), ())))
+        # MXU; bf16 cotangents take 1 pass, f32 take 3 exact passes
+        out_ref[0] += _onehot_dot(oh, g, (((0,), (0,)), ((), ())))
 
     return kernel
 
@@ -104,8 +108,10 @@ def _pad_to(x, mult, axis, value=0):
 def scatter_rows_add_pallas(g, idx, n, interpret=False):
     """out[b, j, :] = sum over m with idx[b, m] == j of g[b, m, :].
 
-    g: (B, M, C) float32 cotangent rows; idx: (B, M) int32 in [0, n)
-    (entries >= n are ignored — used for M padding); returns (B, n, C).
+    g: (B, M, C) f32 or bf16 cotangent rows; idx: (B, M) int32 in [0, n)
+    (entries >= n are ignored — used for M padding); returns (B, n, C)
+    f32 (the accumulator dtype — callers cast back if they want bf16).
+    bf16 cotangents run a single MXU pass per chunk instead of three.
     """
     from jax.experimental import pallas as pl
 
@@ -116,7 +122,9 @@ def scatter_rows_add_pallas(g, idx, n, interpret=False):
     # the grid blocks, so the working set is ~2x (one-hot + g tile + out);
     # 2 MB keeps the sa2 shape (N=2048, Cp=256) at ~10 MB scoped VMEM
     MC = max(LANES, min(512, (2 * 2**20) // (N * 4) // LANES * LANES))
-    g = _pad_to(_pad_to(g.astype(jnp.float32), Cp, 2), MC, 1)
+    if g.dtype not in (jnp.float32, jnp.bfloat16):
+        g = g.astype(jnp.float32)
+    g = _pad_to(_pad_to(g, Cp, 2), MC, 1)
     idx = _pad_to(idx.astype(jnp.int32), MC, 1, value=N)
     Mp = g.shape[1]
     # replicate idx over a lane so the kernel block is 2-D (MC, LANES)
@@ -149,10 +157,11 @@ def scatter_rows_add_xla(g, idx, n):
 
 
 def scatter_rows_add(g, idx, n):
-    """Backend-dispatched row scatter-add (see module docstring)."""
+    """Backend-dispatched row scatter-add; always accumulates and
+    returns f32 (callers cast back to their cotangent dtype)."""
     if jax.default_backend() == "tpu" and n <= MAX_N:
         return scatter_rows_add_pallas(g, idx, n)
-    return scatter_rows_add_xla(g, idx, n)
+    return scatter_rows_add_xla(g.astype(jnp.float32), idx, n)
 
 
 # ---------------------------------------------------------------------------
@@ -176,8 +185,11 @@ def _make_gather_kernel(N):
         MC = idx.shape[0]
         cols = lax.broadcasted_iota(jnp.int32, (MC, N), 1)
         oh = idx == cols
-        # exact row copy: hi_j + mid_j + lo_j == src_j bit-exactly
-        out_ref[0] = _onehot_dot3(oh, src, (((1,), (0,)), ((), ())))
+        # exact row copy: hi_j + mid_j + lo_j == src_j bit-exactly for
+        # f32; bf16 rows copy in one pass (f32 accum -> bf16 is exact)
+        out_ref[0] = _onehot_dot(
+            oh, src, (((1,), (0,)), ((), ()))
+        ).astype(out_ref.dtype)
 
     return kernel
 
@@ -186,8 +198,9 @@ def _make_gather_kernel(N):
 def gather_rows_pallas(src, idx, interpret=False):
     """out[b, m, :] = src[b, idx[b, m], :] via one-hot MXU matmuls.
 
-    src: (B, N, C) float32; idx: (B, M) int32 in [0, N). Bit-exact with
-    take_along_axis (each one-hot row selects exactly one source row)."""
+    src: (B, N, C) f32 or bf16; idx: (B, M) int32 in [0, N). Bit-exact
+    with take_along_axis (each one-hot row selects exactly one source
+    row); bf16 sources copy in a single MXU pass and return bf16."""
     from jax.experimental import pallas as pl
 
     B, N0, C = src.shape
@@ -195,13 +208,15 @@ def gather_rows_pallas(src, idx, interpret=False):
     N = -(-N0 // LANES) * LANES
     Cp = -(-C // LANES) * LANES
     MC = max(LANES, min(512, (2 * 2**20) // (N * 4) // LANES * LANES))
-    src = _pad_to(_pad_to(src.astype(jnp.float32), N, 1), Cp, 2)
+    if src.dtype not in (jnp.float32, jnp.bfloat16):
+        src = src.astype(jnp.float32)
+    src = _pad_to(_pad_to(src, N, 1), Cp, 2)
     idx = _pad_to(idx.astype(jnp.int32), MC, 1)
     Mp = idx.shape[1]
     idxl = jnp.broadcast_to(idx[:, :, None], (B, Mp, 1))
     out = pl.pallas_call(
         _make_gather_kernel(N),
-        out_shape=jax.ShapeDtypeStruct((B, Mp, Cp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Mp, Cp), src.dtype),
         grid=(B, Mp // MC),
         in_specs=[
             pl.BlockSpec((1, N, Cp), lambda b, c: (b, 0, 0)),

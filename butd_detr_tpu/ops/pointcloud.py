@@ -139,10 +139,12 @@ def _gather_points_fwd(points, idx, n):
 
 
 def _gather_points_bwd(n, idx, g):
+    # bf16 cotangents go in as bf16 (1 MXU pass in the kernel); the
+    # scatter accumulates f32 either way and we cast back at the end
     from butd_detr_tpu.ops.pallas_scatter import scatter_rows_add
 
     grad = scatter_rows_add(
-        g.astype(jnp.float32), idx.astype(jnp.int32), n
+        g, idx.astype(jnp.int32), n
     ).astype(g.dtype)
     zero_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     return grad, zero_idx
@@ -732,7 +734,8 @@ def _use_onehot_gather(n: int, dtype) -> bool:
 
     A/B switch: BUTD_ONEHOT_GATHER=1 enables on TPU for N <= MAX_N (same
     budget as the scatter mirror); default off pending hardware
-    measurement vs the in-model take_along_axis cost (PERF.md)."""
+    measurement vs the in-model take_along_axis cost (PERF.md). bf16
+    sources (the backbone_bf16 default) take a single MXU pass."""
     import os
 
     from butd_detr_tpu.ops.pallas_scatter import MAX_N
@@ -741,7 +744,7 @@ def _use_onehot_gather(n: int, dtype) -> bool:
         os.environ.get("BUTD_ONEHOT_GATHER", "0") == "1"
         and jax.default_backend() == "tpu"
         and n <= MAX_N
-        and dtype == jnp.float32
+        and dtype in (jnp.float32, jnp.bfloat16)
     )
 
 
@@ -755,7 +758,7 @@ def _group_points_bwd(n, idx, g):
     B, m, ns = idx.shape
     C = g.shape[-1]
     grad = scatter_rows_add(
-        g.reshape(B, m * ns, C).astype(jnp.float32),
+        g.reshape(B, m * ns, C),
         idx.reshape(B, m * ns),
         n,
     ).astype(g.dtype)

@@ -521,3 +521,35 @@ def test_onehot_gather_bit_exact():
     )
     want = np.take_along_axis(table, ids[..., None], axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_scatter_gather_pallas_bf16_single_pass():
+    """bf16 payloads route through the 1-pass MXU path: the scatter
+    accumulates exactly in f32; the gather is a bit-exact bf16 row copy."""
+    from butd_detr_tpu.ops.pallas_scatter import (
+        gather_rows_pallas,
+        scatter_rows_add_pallas,
+        scatter_rows_add_xla,
+    )
+
+    rng = np.random.RandomState(9)
+    B, M, N, C = 2, 300, 96, 19
+    g = rng.randn(B, M, C).astype(np.float32)
+    gb = jnp.asarray(g).astype(jnp.bfloat16)
+    idx = rng.randint(0, N + 4, (B, M)).astype(np.int32)  # some pad rows
+    got = np.asarray(scatter_rows_add_pallas(gb, jnp.asarray(idx), N, True))
+    want = np.asarray(
+        scatter_rows_add_xla(gb.astype(jnp.float32), jnp.asarray(idx), N)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    src = jnp.asarray(rng.randn(B, N, C).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    gi = rng.randint(0, N, (B, 77)).astype(np.int32)
+    out = gather_rows_pallas(src, jnp.asarray(gi), True)
+    assert out.dtype == jnp.bfloat16
+    want_g = np.take_along_axis(
+        np.asarray(src.astype(jnp.float32)), gi[..., None], axis=1
+    )
+    np.testing.assert_array_equal(np.asarray(out.astype(jnp.float32)), want_g)
