@@ -203,26 +203,94 @@ def make_fake_scannet(
     with open(osp.join(meta, "nr3d_test_scans.txt"), "w") as f:
         f.write(repr(scan_ids))
 
-    # sr3d annotations + span-predictor output
+    # sr3d / sr3d+ annotations + span-predictor output. The reference
+    # indexes `sr3d_pred_spans.json` by RAW csv row index for both csvs
+    # (joint_det_dataset.py:137-161), so sr3d+.csv must extend sr3d.csv
+    # row-for-row: same rows first, extra rows after, one span per row.
     os.makedirs(osp.join(root, "refer_it_3d"), exist_ok=True)
     utt = "the chair near the table"
-    spans = []
+    sr3d_header = (
+        "scan_id,target_id,distractor_ids,utterance,instance_type,"
+        "anchors_types,anchor_ids,mentions_target_class\n"
+    )
+
+    def _chair_span():
+        span = np.zeros(256)
+        span[2:4] = 0.5  # 'chair' tokens
+        return span.tolist()
+
+    sr3d_rows = [
+        f'{sid},0,[2],{utt},chair,[\'table\'],[1],True\n' for sid in scan_ids
+    ]
+    # sr3d+ extras: the other chair (object 2) as target
+    plus_rows = sr3d_rows + [
+        f'{sid},2,[0],{utt},chair,[\'table\'],[1],True\n' for sid in scan_ids
+    ]
+    spans = [
+        {"span": _chair_span(), "utterance": utt} for _ in plus_rows
+    ]
     with open(osp.join(root, "refer_it_3d", "sr3d.csv"), "w") as f:
-        f.write(
-            "scan_id,target_id,distractor_ids,utterance,instance_type,"
-            "anchors_types,anchor_ids,mentions_target_class\n"
-        )
-        for sid in scan_ids:
-            f.write(
-                f'{sid},0,[2],{utt},chair,[\'table\'],[1],True\n'
-            )
-            span = np.zeros(256)
-            span[2:4] = 0.5  # 'chair' tokens
-            spans.append({"span": span.tolist(), "utterance": utt})
+        f.write(sr3d_header + "".join(sr3d_rows))
+    with open(osp.join(root, "refer_it_3d", "sr3d+.csv"), "w") as f:
+        f.write(sr3d_header + "".join(plus_rows))
     with open(osp.join(root, "sr3d_pred_spans.json"), "w") as f:
         json.dump(spans, f)
     with open(osp.join(root, "cls_results.json"), "w") as f:
         json.dump({sid: [1, 3, 1] for sid in scan_ids}, f)
+
+    # nr3d: free-form csv (joint_det_dataset.py:163-210). Row layout per
+    # scan: [kept, mentions_target_class=False (dropped), correct_guess=
+    # False (dropped only at val/test)] — spans indexed by raw row.
+    nr3d_utt = "it is the chair that stands near the table"
+    nr3d_header = (
+        "scan_id,target_id,utterance,instance_type,"
+        "mentions_target_class,correct_guess\n"
+    )
+    nr3d_rows, nr3d_spans = [], []
+    for sid in scan_ids:
+        for tid, mentions, correct in (
+            (0, "True", "True"), (2, "False", "True"), (2, "True", "False")
+        ):
+            nr3d_rows.append(
+                f"{sid},{tid},{nr3d_utt},chair,{mentions},{correct}\n"
+            )
+            nr3d_spans.append({"span": _chair_span(), "utterance": nr3d_utt})
+    with open(osp.join(root, "refer_it_3d", "nr3d.csv"), "w") as f:
+        f.write(nr3d_header + "".join(nr3d_rows))
+    with open(osp.join(root, "nr3d_pred_spans.json"), "w") as f:
+        json.dump(nr3d_spans, f)
+
+    # scanrefer: filtered JSON + scan-id txt + per-split pred spans
+    # (joint_det_dataset.py:212-278)
+    os.makedirs(osp.join(root, "scanrefer"), exist_ok=True)
+    sr_tokens = ["the", "table", "in", "the", "room"]
+    sr_utt = " ".join(sr_tokens)
+    sr_annos = [
+        {
+            "scene_id": sid,
+            "object_id": "1",
+            "object_name": "table",
+            "token": sr_tokens,
+        }
+        for sid in scan_ids
+    ]
+    sr_spans = [
+        {"span": _chair_span(), "utterance": sr_utt} for _ in sr_annos
+    ]
+    for split in ("train", "val"):
+        base = osp.join(root, "scanrefer", f"ScanRefer_filtered_{split}")
+        with open(base + ".json", "w") as f:
+            json.dump(sr_annos, f)
+        with open(base + ".txt", "w") as f:
+            f.write("\n".join(scan_ids) + "\n")
+        with open(
+            osp.join(root, f"scanrefer_pred_spans_{split}.json"), "w"
+        ) as f:
+            json.dump(sr_spans, f)
+
+    # multiview ENet features: per-point rows aligned with the LOADED
+    # (possibly subsampled) cloud, like the real ScanRefer hdf5 — written
+    # separately via make_fake_multiview(root, scans) once scans exist.
 
     # GroupFree-style detected boxes
     for split in ("train", "val"):
@@ -239,3 +307,22 @@ def make_fake_scannet(
                 "logits": rng.randn(4, 485),
             })
     return root
+
+
+def make_fake_multiview(root: str, scans: Dict, dim: int = 32, seed: int = 0):
+    """Write `scanrefer_2d_feats/enet_feats_maxpool.hdf5` with per-point 2D
+    features aligned to each LOADED scan's point count (the real file is
+    built from the preprocessed clouds; reference joint_det_dataset.py:84-88
+    reads it raw and concatenates per point, :448-450)."""
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    d = osp.join(root, "scanrefer_2d_feats")
+    os.makedirs(d, exist_ok=True)
+    path = osp.join(d, "enet_feats_maxpool.hdf5")
+    with h5py.File(path, "w") as f:
+        for sid, scan in scans.items():
+            f.create_dataset(
+                sid, data=rng.rand(len(scan.orig_pc), dim).astype(np.float32)
+            )
+    return path

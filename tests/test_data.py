@@ -442,3 +442,130 @@ def test_max_det_boxes_widens_independently(fake_root, scans):
     np.testing.assert_array_equal(
         s["det_boxes"][:k], s["all_bboxes"][:k]
     )
+
+
+# ---------------- nr3d / sr3d+ / scanrefer / multiview loaders ----------------
+# (reference joint_det_dataset.py:163-278,341-356 — round-2 VERDICT item 3)
+
+
+def test_nr3d_loader_train(fake_root, scans):
+    """nr3d CSV loader: mentions_target_class filter, distractors computed
+    from same-instance-label scene objects (joint_det_dataset.py:163-210)."""
+    ds = dataset(fake_root, scans, dataset_dict={"nr3d": 1})
+    # fixture: 3 rows/scan — kept, mentions=False (dropped), correct=False
+    # (kept at train; the correct_guess filter applies only at val/test)
+    assert len(ds) == 4
+    assert all(a["dataset"] == "nr3d" for a in ds.annos)
+    a = ds.annos[0]
+    assert a["target_id"] == 0 and a["target"] == "chair"
+    # the other chair (object 2) is the sole distractor of target 0
+    assert a["distractor_ids"] == [2]
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["point_clouds"].shape == (2048, 3)
+    assert s["positive_map"][0].sum() == pytest.approx(1.0)
+    assert s["target_name"] == "chair"
+
+
+def test_nr3d_loader_val_filters_correct_guess(fake_root, scans):
+    """At val (mapped to the nr3d 'test' scan list) rows with
+    correct_guess=False are dropped (joint_det_dataset.py:193-197)."""
+    ds = dataset(
+        fake_root, scans, dataset_dict={"nr3d": 1},
+        test_dataset="nr3d", split="val",
+    )
+    assert len(ds) == 2  # only the fully-true row per scan survives
+
+
+def test_sr3dplus_loader(fake_root, scans):
+    """sr3d+ shares the sr3d loader/span file but reads sr3d+.csv
+    (joint_det_dataset.py:126-129); fixture csv = sr3d rows + extras."""
+    ds = dataset(fake_root, scans, dataset_dict={"sr3d+": 1})
+    assert len(ds) == 4
+    assert all(a["dataset"] == "sr3d+" for a in ds.annos)
+    # extra rows target the second chair with the first as distractor
+    assert ds.annos[2]["target_id"] == 2
+    assert ds.annos[2]["distractor_ids"] == [0]
+    s = ds.get(2, np.random.RandomState(0))
+    assert s["target_id"] == 2
+    assert s["box_label_mask"].sum() == 1
+    # GT box is the augmented AABB of object 2's points
+    pil = s["point_instance_label"]
+    assert (pil == 0).sum() > 0
+
+
+def test_scanrefer_loader(fake_root, scans):
+    """ScanRefer JSON loader: token-joined utterance, 18-class distractors,
+    unique flag (joint_det_dataset.py:212-278)."""
+    ds = dataset(fake_root, scans, dataset_dict={"scanrefer": 1})
+    assert len(ds) == 2
+    a = ds.annos[0]
+    assert a["dataset"] == "scanrefer"
+    assert a["utterance"] == "the table in the room"
+    assert a["target"] == "table"
+    # sole table in the scene: no distractors, unique
+    assert a["distractor_ids"] == []
+    assert bool(a["unique"])
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["is_unique"] is True and s["is_hard"] is False
+    assert s["target_name"] == "table"
+    assert s["utterances"].startswith("the table in the room")
+
+
+def test_scanrefer_val_split_uses_val_files(fake_root, scans):
+    ds = dataset(
+        fake_root, scans, dataset_dict={"scanrefer": 1},
+        test_dataset="scanrefer", split="val",
+    )
+    assert len(ds) == 2
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["point_clouds"].shape == (2048, 3)
+
+
+def test_multiview_features_concatenated(fake_root, scans):
+    """use_multiview appends the per-point hdf5 features AFTER xyz+color
+    and they are NOT geometrically augmented (reference _get_pc,
+    joint_det_dataset.py:425-450)."""
+    from butd_detr_tpu.data.synthetic import make_fake_multiview
+
+    make_fake_multiview(fake_root, scans, dim=32, seed=3)
+    ds = dataset(
+        fake_root, scans, dataset_dict={"sr3d": 1},
+        use_color=True, use_multiview=True,
+    )
+    s = ds.get(0, np.random.RandomState(0))
+    assert s["point_clouds"].shape == (2048, 3 + 3 + 32)
+    # multiview block is the raw hdf5 content (no augmentation applied)
+    import h5py
+    import os.path as osp
+
+    with h5py.File(
+        osp.join(fake_root, "scanrefer_2d_feats", "enet_feats_maxpool.hdf5")
+    ) as f:
+        raw = np.asarray(f[ds.annos[0]["scan_id"]])
+    np.testing.assert_allclose(s["point_clouds"][:, 6:], raw, rtol=1e-6)
+
+
+def test_all_five_loaders_mix_in_joint_train(fake_root, scans):
+    """Joint training mixes every annotation source with repetition counts
+    (reference train_dist_mod.py:44-45; loaders :112-310)."""
+    from butd_detr_tpu.data.synthetic import make_fake_multiview
+
+    make_fake_multiview(fake_root, scans, dim=8)
+    ds = dataset(
+        fake_root, scans,
+        dataset_dict={
+            "sr3d": 1, "sr3d+": 1, "nr3d": 1, "scanrefer": 1, "scannet": 2
+        },
+    )
+    counts = {}
+    for a in ds.annos:
+        counts[a["dataset"]] = counts.get(a["dataset"], 0) + 1
+    assert counts == {
+        "sr3d": 2, "sr3d+": 4, "nr3d": 4, "scanrefer": 2, "scannet": 4
+    }
+    # joint_det flips on (scannet + another dataset at train)
+    assert ds.joint_det
+    for i in (0, 3, 7, 9, 13):
+        s = ds.get(i, np.random.RandomState(i))
+        assert s["point_clouds"].shape == (2048, 3)
+        assert np.isfinite(s["point_clouds"]).all()
