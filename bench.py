@@ -23,6 +23,23 @@ import numpy as np
 
 A100_SCENES_PER_SEC = 34.0
 
+# TPU v5e peak: 197 TFLOP/s bf16 (f32 runs at half). MFU is reported
+# against the bf16 peak — conservative for our mixed bf16/f32 step.
+V5E_PEAK_FLOPS = 197e12
+
+
+def _step_flops(jitted, *args):
+    """XLA's own FLOP count for a compiled step (cost_analysis), or None
+    when the backend doesn't report it. Cheap: the executable is already
+    compiled/cached for this signature."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis["flops"])
+    except Exception:
+        return None
+
 
 def _enable_compile_cache():
     """Persistent compilation cache: the flagship train-step compile is
@@ -192,11 +209,14 @@ def main():
             stacked = jax.device_put(stacked, stacked_shd)
             state, losses = jscan(state, stacked)  # compile + warm
             _ = np.asarray(losses)
+            flops = _step_flops(jscan, state, stacked)
+            flops = flops / n_steps if flops else None
             t0 = time.time()
             state, losses = jscan(state, stacked)
             _ = np.asarray(losses)
             dt = (time.time() - t0) / n_steps
         else:
+            flops = _step_flops(step, state, device_batches[0], rng)
             t0 = time.time()
             for nb in device_batches:
                 state, metrics = step(state, nb, rng)
@@ -213,6 +233,7 @@ def main():
         inputs = {k: jnp.asarray(batch[k]) for k in INPUT_KEYS}
         ep = fwd(variables, inputs)
         jax.block_until_ready(ep)
+        flops = _step_flops(fwd, variables, inputs)
         times = []
         for i in range(5):
             nb = synthetic_batch(
@@ -227,12 +248,18 @@ def main():
         metric = "grounding_infer_scenes_per_sec_per_chip"
 
     value = B / dt
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(value, 2),
         "unit": "scenes/sec",
         "vs_baseline": round(value / A100_SCENES_PER_SEC, 3),
-    }))
+    }
+    if flops:
+        # MFU vs the v5e bf16 peak; also the absolute model FLOPs so the
+        # number is auditable (VERDICT r2 item 5)
+        out["step_tflops"] = round(flops / 1e12, 3)
+        out["mfu"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -56,6 +56,11 @@ class Config:
     lr_decay_rate: float = 0.1
     clip_norm: float = 0.1
     bn_momentum: float = 0.1
+    # Cross-replica BN (reference main_utils.py SyncBN wrap). Under our
+    # pjit step BN stats reduce over the GLOBAL dp-sharded batch axis, so
+    # SyncBN semantics are always on (train/step.py module docstring;
+    # tests/test_harness.py::test_bn_stats_are_global) — the flag is
+    # accepted for CLI parity and logged as inherently satisfied.
     syncbn: bool = False
     warmup_epoch: int = -1
     warmup_multiplier: int = 100

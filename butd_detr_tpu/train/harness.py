@@ -45,6 +45,7 @@ from butd_detr_tpu.train.config import Config
 from butd_detr_tpu.train.optimizer import make_optimizer
 from butd_detr_tpu.train.step import (
     INPUT_KEYS,
+    METRIC_KEYS,
     TARGET_KEYS,
     build_model,
     init_state,
@@ -204,6 +205,13 @@ class TrainTester:
             f"test {len(test_loader.dataset)}"
         )
         mesh = make_mesh(dp=cfg.dp, mp=cfg.mp)
+        if cfg.syncbn:
+            # BN stats already reduce over the global dp-sharded batch
+            # axis under the pjit step (SyncBN inherent — train/step.py)
+            self.logger.info(
+                "--syncbn: BatchNorm statistics are global under the "
+                "pjit train step; cross-replica sync is inherent"
+            )
         model = self.get_model()
         optimizer = make_optimizer(cfg, steps_per_epoch=len(train_loader))
 
@@ -321,7 +329,12 @@ class TrainTester:
         return state
 
     def _eval_batches(self, test_loader, eval_step, state, mesh):
-        for batch in test_loader:
+        """Yield (batch, end_points) for every eval batch, accumulating and
+        logging running-mean loss stats per print_freq window as the
+        reference's `_main_eval_branch` does (main_utils.py:458-494)."""
+        stat: Dict[str, float] = {}
+        n = len(test_loader)
+        for batch_idx, batch in enumerate(test_loader):
             sbatch = shard_batch(
                 mesh,
                 {
@@ -331,6 +344,20 @@ class TrainTester:
                 },
             )
             end_points = eval_step(state, sbatch)
+            loss_keys = [k for k in METRIC_KEYS if k in end_points]
+            if loss_keys:
+                # the evaluator pulls end_points to host right after this
+                # yield anyway, so a per-batch scalar device_get is free
+                vals = jax.device_get({k: end_points[k] for k in loss_keys})
+                for k, v in vals.items():
+                    stat[k] = stat.get(k, 0.0) + float(v)
+                if (batch_idx + 1) % self.cfg.print_freq == 0:
+                    self.logger.info(
+                        f"Eval: [{batch_idx + 1}/{n}] " + " ".join(
+                            f"{k} {v / (batch_idx + 1):.4f}"
+                            for k, v in sorted(stat.items())
+                        )
+                    )
             # evaluator extras stay on host
             for k in (
                 "all_bboxes", "all_bbox_label_mask", "is_view_dep",

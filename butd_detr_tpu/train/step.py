@@ -5,9 +5,15 @@ Hungarian -> backward -> DDP all-reduce -> clip -> step. Here the whole
 thing — forward, on-device matching, loss, grads, clip, optimizer — is ONE
 XLA program under `jax.jit` with batch arrays sharded over the `dp` mesh
 axis; gradient averaging falls out of global-array semantics (no NCCL-style
-code). BatchNorm keeps per-device batch statistics folded through the
-mutable `batch_stats` collection (the reference trains with non-synced BN,
---syncbn absent from its launch scripts).
+code). BatchNorm statistics are likewise GLOBAL: the batch mean/var reduce
+over the dp-sharded batch axis, so XLA inserts the cross-replica collective
+and batch_stats see the full global batch — i.e. SyncBN semantics are
+always on (verified by tests/test_harness.py::test_bn_stats_are_global).
+The reference's `--syncbn` (main_utils.py SyncBN wrap) is therefore
+inherently satisfied; the flag is accepted and logged as a no-op. (The
+reference's launch scripts never set it, so it trains per-GPU BN — our
+global stats are the strictly-more-correct variant and identical at
+process_count()==1.)
 """
 
 from typing import Any, Dict, Optional, Tuple

@@ -158,7 +158,25 @@ def test_grounding_eval_det_setup(fake_root, tmp_path):
         model, optimizer, next(iter(test_loader)), jax.random.PRNGKey(0)
     )
     eval_step = shard_eval_step(make_eval_step(model, cfg), mesh)
-    ev = tt.evaluate_one_epoch(1, test_loader, eval_step, state, mesh)
+    # the eval loop logs running-mean loss stats per print_freq window
+    # (reference _main_eval_branch, main_utils.py:458-494)
+    import logging
+
+    records = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    cap = _Capture()
+    tt.logger.addHandler(cap)
+    try:
+        ev = tt.evaluate_one_epoch(1, test_loader, eval_step, state, mesh)
+    finally:
+        tt.logger.removeHandler(cap)
+    eval_lines = [m for m in records if m.startswith("Eval: [")]
+    assert eval_lines, "no eval loss-stat lines logged"
+    assert any("loss_ce" in m and "loss_giou" in m for m in eval_lines)
     # untrained model: accuracies exist and are in [0, 1]
     acc = ev.accuracy("last_", 0.25, 10, "bbs")
     assert 0.0 <= acc <= 1.0
@@ -203,3 +221,88 @@ def test_detection_eval_on_scannet_prompt(fake_root, tmp_path):
     for t in cfg.ap_iou_thresholds:
         assert 0.0 <= results[t]["mAP"] <= 1.0
         assert 0.0 <= results[t]["AR"] <= 1.0
+
+
+def test_bn_stats_are_global():
+    """SyncBN is inherent under the pjit step: BatchNorm batch statistics
+    reduce over the dp-SHARDED batch axis with global-array semantics, so
+    the mutated batch_stats equal a single-device global-batch run — the
+    reference's --syncbn (main_utils.py SyncBN wrap) needs no extra code.
+    Data is constructed so PER-DEVICE stats would differ wildly (each
+    shard has a different mean), making the assertion discriminative."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from butd_detr_tpu.parallel import make_mesh, batch_sharding, replicated
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9
+            )(x)
+
+    m = M()
+    # shard s (of 8) holds constant value s: per-device var = 0,
+    # global var = var([0..7]) = 5.25 — any per-device fallback fails
+    x = np.kron(
+        np.arange(8, dtype=np.float32)[:, None], np.ones((2, 4), np.float32)
+    )  # (16, 4): rows 2s..2s+1 = s
+    v = m.init(jax.random.PRNGKey(0), x, True)
+    mesh = make_mesh()
+    shd, rep = batch_sharding(mesh), replicated(mesh)
+
+    def step(v, x):
+        _, mut = m.apply(v, x, True, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    bs_sharded = jax.jit(
+        step, in_shardings=(rep, shd), out_shardings=rep
+    )(v, jnp.asarray(x))
+    bs_global = jax.jit(step)(v, jnp.asarray(x))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        ),
+        bs_sharded, bs_global,
+    )
+    # and the global var really is the cross-shard one (not ~0)
+    assert float(bs_global["BatchNorm_0"]["var"][0]) > 0.5
+
+
+def test_allreduce_dict_allgather_branch(monkeypatch):
+    """The multi-process merge path of utils/dist.allreduce_dict (the
+    replacement for the reference's pickled NCCL all_gather,
+    utils/misc.py:23-63): simulate 2 JAX processes by stubbing
+    process_count and multihost_utils.process_allgather, and check the
+    summed dict plus the key-order invariance both processes rely on."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from butd_detr_tpu.utils import dist
+
+    d0 = {"acc_last_0.25": 3.0, "gt_count": 7, "acc_last_0.5": 1.0}
+    d1 = {"acc_last_0.5": 2.0, "gt_count": 5, "acc_last_0.25": 4.0}
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    calls = []
+
+    def fake_allgather(vec):
+        # what a real allgather returns: every process's vector stacked
+        # in process order. Process 1 built ITS vector with the same
+        # sorted-key order — reproduce that here.
+        calls.append(np.asarray(vec))
+        keys = sorted(d1.keys(), key=repr)
+        other = np.asarray([float(d1[k]) for k in keys], np.float64)
+        return np.stack([np.asarray(vec), other])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    out = dist.allreduce_dict(d0)
+    assert out == {"acc_last_0.25": 7.0, "gt_count": 12.0,
+                   "acc_last_0.5": 3.0}
+    assert len(calls) == 1  # exactly one collective for the whole dict
+
+    # single-process short-circuit unchanged
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    assert dist.allreduce_dict(d0) == d0
