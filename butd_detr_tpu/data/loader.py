@@ -14,8 +14,6 @@ input pipeline:
     TPU analogue of the reference's seed_worker (main_utils.py:199-207).
 """
 
-import queue
-import threading
 from concurrent.futures import ProcessPoolExecutor
 from typing import Dict, Iterator, List, Optional
 
@@ -133,36 +131,48 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict]:
         idx = self._indices()
         nb = len(self)
-        batches = [
-            idx[i * self.batch_size:(i + 1) * self.batch_size]
-            for i in range(nb)
-        ]
+        batches, valids = [], []
+        for i in range(nb):
+            b = idx[i * self.batch_size:(i + 1) * self.batch_size]
+            valids.append(len(b))
+            if len(b) < self.batch_size:
+                # drop_last=False tail: pad to the fixed batch shape by
+                # cyclic repetition (torch DistributedSampler pads the
+                # same way). "__valid__" tells the eval loop how many
+                # leading rows are real so evaluator counters stay exact.
+                b = np.resize(b, self.batch_size)
+            batches.append(b)
+
+        def finish(batch, valid):
+            if valid < self.batch_size:
+                batch["__valid__"] = valid
+            return batch
+
         if self.num_workers == 0:
-            for b in batches:
-                yield collate([
+            for b, v in zip(batches, valids):
+                yield finish(collate([
                     self.dataset.get(
                         int(i), np.random.RandomState(self._sample_seed(int(i)))
                     )
                     for i in b
-                ])
+                ]), v)
             return
 
         pool = self._get_pool()
-        # double-buffer: keep `prefetch` batches in flight
-        pending = queue.Queue()
 
         def submit(b):
             args = [(int(i), self._sample_seed(int(i))) for i in b]
             return [pool.submit(_worker_get, a) for a in args]
 
         inflight = []
-        bi = 0
+        bi = out = 0
         while bi < len(batches) or inflight:
             while bi < len(batches) and len(inflight) < self.prefetch:
                 inflight.append(submit(batches[bi]))
                 bi += 1
             futs = inflight.pop(0)
-            yield collate([f.result() for f in futs])
+            yield finish(collate([f.result() for f in futs]), valids[out])
+            out += 1
 
     def close(self):
         if self._pool is not None:

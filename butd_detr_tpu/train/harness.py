@@ -334,7 +334,12 @@ class TrainTester:
         reference's `_main_eval_branch` does (main_utils.py:458-494)."""
         stat: Dict[str, float] = {}
         n = len(test_loader)
+        B = self.cfg.batch_size
         for batch_idx, batch in enumerate(test_loader):
+            # drop_last=False tail batches are padded to the fixed shape
+            # by cyclic repetition (data/loader.py); only the first
+            # `valid` rows are real samples
+            valid = batch.pop("__valid__", B)
             sbatch = shard_batch(
                 mesh,
                 {
@@ -366,6 +371,17 @@ class TrainTester:
             ):
                 if k in batch:
                     end_points[k] = batch[k]
+            if valid < B:
+                # truncate padded duplicate rows so evaluator counters
+                # count each real sample exactly once
+                end_points = {
+                    k: v[:valid]
+                    if (hasattr(v, "ndim") and v.ndim >= 1
+                        and v.shape[0] == B)
+                    or (isinstance(v, list) and len(v) == B)
+                    else v
+                    for k, v in end_points.items()
+                }
             yield batch, end_points
 
     def evaluate_one_epoch(self, epoch, test_loader, eval_step, state,

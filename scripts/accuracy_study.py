@@ -1,0 +1,171 @@
+"""Train-to-accuracy study on a learnable synthetic dataset (VERDICT r2
+item 2).
+
+The closest offline proxy for the reference's published checkpoints
+(/root/reference/README.md:63): generate a multi-scene, class-unambiguous
+grounding dataset (data/synthetic.make_rich_scannet — every scene has K
+objects of distinct classes, 'the <class> in the room' annotations, clean
+detected boxes), train the production harness on it for a few hundred
+epochs, and record grounding acc@{0.25,0.5} climbing well past the 4-scene
+plateau (NOTES.md r1b/r2 studies: 1/4 at best).
+
+Usage (real chip):
+  python scripts/accuracy_study.py --out /tmp/study --epochs 120
+CPU smoke (~2 min):
+  python scripts/accuracy_study.py --tiny --out /tmp/study_tiny
+"""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/accuracy_study")
+    ap.add_argument("--n_train", type=int, default=96)
+    ap.add_argument("--n_val", type=int, default=24)
+    ap.add_argument("--objects", type=int, default=5)
+    ap.add_argument("--scan_points", type=int, default=20000)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--val_freq", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke: tiny model/points, 8-device mesh")
+    args = ap.parse_args()
+
+    if args.tiny:
+        # must happen before first backend use (sitecustomize preloads jax)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        osp.join(tempfile.gettempdir(), "butd_detr_tpu_jax_cache"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    from butd_detr_tpu.data import JointGroundingDataset
+    from butd_detr_tpu.data.scan import load_scans_parallel
+    from butd_detr_tpu.data.synthetic import make_rich_scannet
+    from butd_detr_tpu.lang import tiny_roberta_config
+    from butd_detr_tpu.lang.tokenizer import SimpleTokenizer
+    from butd_detr_tpu.train import Config, TrainTester
+    from butd_detr_tpu.train.step import build_model
+
+    root = osp.join(args.out, "data")
+    if not osp.exists(osp.join(root, "refer_it_3d", "sr3d.csv")):
+        t0 = time.time()
+        make_rich_scannet(
+            root, n_train=args.n_train, n_val=args.n_val,
+            objects_per_scan=args.objects,
+            points_per_scan=args.scan_points if not args.tiny else 1500,
+        )
+        print(f"generated {args.n_train}+{args.n_val} scenes "
+              f"in {time.time()-t0:.0f}s", flush=True)
+
+    num_points = 1024 if args.tiny else 50000
+    cfg = Config(
+        dataset=["sr3d"], test_dataset="sr3d", data_root=root,
+        use_color=True, butd=True, self_attend=True,
+        use_soft_token_loss=True, use_contrastive_align=True,
+        batch_size=args.batch if not args.tiny else 8,
+        num_points=num_points,
+        max_num_obj=16, max_det_boxes=16, max_text_len=32,
+        max_epoch=args.epochs, val_freq=args.val_freq,
+        print_freq=10, num_workers=2 if not args.tiny else 0,
+        dp=8 if args.tiny else 1,
+        log_dir=osp.join(args.out, "log"),
+        **(dict(num_encoder_layers=1, num_decoder_layers=1, num_target=16)
+           if args.tiny else {}),
+    )
+
+    class StudyTrainTester(TrainTester):
+        KEEP = num_points
+
+        def get_datasets(self):
+            c = self.cfg
+            with open(
+                osp.join(root, "meta_data", "scannetv2_train.txt")
+            ) as f:
+                train_ids = [l.strip() for l in f if l.strip()]
+            with open(
+                osp.join(root, "meta_data", "scannetv2_val.txt")
+            ) as f:
+                val_ids = [l.strip() for l in f if l.strip()]
+            scans = load_scans_parallel(
+                train_ids + val_ids, osp.join(root, "scans"),
+                osp.join(root, "meta_data"),
+                num_workers=c.num_workers or 1, keep_points=self.KEEP,
+            )
+            # spans were generated with SimpleTokenizer — use the same
+            tok = SimpleTokenizer(max_len=c.max_text_len)
+            common = dict(
+                dataset_dict={"sr3d": 1}, test_dataset="sr3d",
+                data_path=root, scans=scans, tokenizer=tok,
+                use_color=c.use_color, butd=c.butd,
+                max_text_len=c.max_text_len, max_num_obj=c.max_num_obj,
+                max_det_boxes=c.max_det_boxes,
+            )
+            return (
+                JointGroundingDataset(split="train", **common),
+                JointGroundingDataset(split="val", **common),
+            )
+
+        def get_model(self):
+            if args.tiny:
+                return build_model(
+                    self.cfg, roberta_config=tiny_roberta_config(),
+                    backbone_npoints=(256, 128, 64, 32),
+                )
+            return super().get_model()
+
+        def _roberta_config(self):
+            if args.tiny:
+                return tiny_roberta_config()
+            return super()._roberta_config()
+
+        history = []
+
+        def evaluate_one_epoch(self, epoch, loader, eval_step, state, mesh):
+            ev = super().evaluate_one_epoch(
+                epoch, loader, eval_step, state, mesh
+            )
+            row = {"epoch": epoch, "step": int(state.step)}
+            for t in (0.25, 0.5):
+                for k in (1, 5):
+                    for mode in ("bbs", "bbf"):
+                        try:
+                            row[f"acc@{t}_top{k}_{mode}"] = round(
+                                ev.accuracy("last_", t, k, mode), 4
+                            )
+                        except Exception:
+                            pass
+            self.history.append(row)
+            self.logger.info(f"STUDY {json.dumps(row)}")
+            with open(osp.join(args.out, "history.jsonl"), "a") as f:
+                f.write(json.dumps(row) + "\n")
+            return ev
+
+    tt = StudyTrainTester(cfg)
+    tt.main()
+    print(json.dumps(tt.history, indent=1))
+
+
+if __name__ == "__main__":
+    main()

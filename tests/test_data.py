@@ -569,3 +569,38 @@ def test_all_five_loaders_mix_in_joint_train(fake_root, scans):
         s = ds.get(i, np.random.RandomState(i))
         assert s["point_clouds"].shape == (2048, 3)
         assert np.isfinite(s["point_clouds"]).all()
+
+
+def test_loader_pads_tail_batch_with_valid_marker():
+    """drop_last=False: the final short batch is padded to the fixed batch
+    shape by cyclic repetition (fixed-shape TPU executables can't take a
+    ragged tail) and carries __valid__ = number of real rows; full batches
+    carry no marker. The harness eval loop truncates end_points back to
+    __valid__ rows so evaluator counters stay exact."""
+    from butd_detr_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def get(self, i, rng):
+            return {"x": np.full((3,), i, np.float32), "scan_ids": f"s{i}"}
+
+    dl = DataLoader(DS(), batch_size=4, shuffle=False, drop_last=False,
+                    num_workers=0)
+    batches = list(dl)
+    assert len(batches) == len(dl) == 3
+    assert "__valid__" not in batches[0] and "__valid__" not in batches[1]
+    tail = batches[2]
+    assert tail.pop("__valid__") == 2
+    assert tail["x"].shape == (4, 3)
+    # cyclic repetition: rows 2,3 repeat rows 0,1 (= samples 8, 9)
+    np.testing.assert_array_equal(tail["x"][2:], tail["x"][:2])
+    assert [int(v[0]) for v in tail["x"]] == [8, 9, 8, 9]
+
+    # drop_last=True unchanged: tail dropped, no markers
+    dl2 = DataLoader(DS(), batch_size=4, shuffle=False, drop_last=True,
+                     num_workers=0)
+    batches2 = list(dl2)
+    assert len(batches2) == 2
+    assert all("__valid__" not in b for b in batches2)
