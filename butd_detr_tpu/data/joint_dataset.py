@@ -95,6 +95,7 @@ class JointGroundingDataset:
         scans: Optional[Dict] = None,
         max_num_obj: int = MAX_NUM_OBJ,
         max_det_boxes: Optional[int] = None,
+        spatial_sort: bool = True,
     ):
         if dataset_dict is None:
             dataset_dict = {"sr3d": 1, "scannet": 10}
@@ -161,7 +162,9 @@ class JointGroundingDataset:
         else:
             cache = osp.join(data_path, f"{split}_v3scans.pkl")
             if not osp.exists(cache):
-                save_scan_cache(cache, split, data_path)
+                save_scan_cache(
+                    cache, split, data_path, spatial_sort=spatial_sort
+                )
             self.scans = load_scan_cache(cache, meta_dir=meta)
 
         if split != "train":

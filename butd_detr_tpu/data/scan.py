@@ -23,6 +23,55 @@ import numpy as np
 
 KEEP_POINTS = 50000
 SUBSAMPLE_SEED = 1184
+HILBERT_BITS = 10
+
+
+def hilbert_code(xyz: np.ndarray, bits: int = HILBERT_BITS) -> np.ndarray:
+    """30-bit 3D Hilbert index per point, numpy (host) port of
+    ops/pointcloud._hilbert3 (Skilling AxesToTranspose + interleave).
+
+    Used to store each scan's subsampled cloud in SPATIALLY LOCAL order
+    (see Scan.load_point_cloud): downstream TPU neighbor ops then see
+    index-contiguous ≈ space-contiguous points, which lets the pruned
+    ball query skip its two on-device prep sorts (ball_query
+    presorted=True) and gives row gathers HBM locality. The exact curve
+    does NOT need to match the device version bit-for-bit — order only
+    affects pruning tightness, never results (ops/pointcloud.py)."""
+    xyz = np.asarray(xyz, np.float32)
+    lo = xyz.min(axis=0, keepdims=True)
+    hi = xyz.max(axis=0, keepdims=True)
+    q = np.clip(
+        ((xyz - lo) / (hi - lo + 1e-6) * (1 << bits)).astype(np.int32),
+        0, (1 << bits) - 1,
+    )
+    x = [q[:, 0].copy(), q[:, 1].copy(), q[:, 2].copy()]
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        P = Q - 1
+        for i in range(3):
+            flag = (x[i] & Q) > 0
+            t = (x[0] ^ x[i]) & P
+            x0_inv = x[0] ^ P
+            x0_exc = x[0] ^ t
+            xi_exc = x[i] ^ t
+            x[0] = np.where(flag, x0_inv, x0_exc)
+            if i != 0:
+                x[i] = np.where(flag, x[i], xi_exc)
+        Q >>= 1
+    x[1] = x[1] ^ x[0]
+    x[2] = x[2] ^ x[1]
+    t = np.zeros_like(x[0])
+    Q = 1 << (bits - 1)
+    while Q > 1:
+        t = np.where((x[2] & Q) > 0, t ^ (Q - 1), t)
+        Q >>= 1
+    for i in range(3):
+        x[i] = x[i] ^ t
+    code = np.zeros_like(x[0])
+    for j in range(bits - 1, -1, -1):
+        for i in range(3):
+            code = (code << 1) | ((x[i] >> j) & 1)
+    return code
 
 
 def read_ply(path: str) -> Dict[str, np.ndarray]:
@@ -150,6 +199,7 @@ class Scan:
         mappings: Optional[ScanNetMappings] = None,
         meta_dir: Optional[str] = None,
         keep_points: int = KEEP_POINTS,
+        spatial_sort: bool = True,
     ):
         self.scan_id = scan_id
         self.top_scan_dir = top_scan_dir
@@ -158,6 +208,7 @@ class Scan:
                 meta_dir or osp.join(top_scan_dir, "..", "meta_data")
             )
         self.mappings = mappings
+        self.spatial_sort = spatial_sort
         self.choices = None
         self.pc, self.semantic_label_idx, self.color = self.load_point_cloud(
             keep_points
@@ -196,6 +247,18 @@ class Scan:
         choices = rng.choice(
             pc.shape[0], keep_points, replace=len(pc) < keep_points
         )
+        if self.spatial_sort:
+            # Store the subsampled cloud in Hilbert order: one host-side
+            # stable argsort per scan (cached in the pkl), folded into
+            # `choices` so color/label/multiview/object remaps all stay
+            # aligned automatically. The reference keeps the RANDOM
+            # subsample order (visual_data_handlers.py:113-126) — a point
+            # set is order-free, and spatial locality is what the TPU
+            # neighbor ops want (ball_query presorted, gather locality).
+            perm = np.argsort(
+                hilbert_code(pc[choices]), kind="stable"
+            )
+            choices = choices[perm]
         self.choices = choices
         self.new_pts = np.zeros(len(pc), int)
         self.new_pts[choices] = np.arange(len(choices), dtype=int)
@@ -288,6 +351,7 @@ def load_scans_parallel(
     meta_dir: str,
     num_workers: int = 4,
     keep_points: int = KEEP_POINTS,
+    spatial_sort: bool = True,
 ) -> Dict[str, Scan]:
     """Load many scans with a process pool (reference save_data,
     joint_det_dataset.py:1000-1029).
@@ -302,7 +366,7 @@ def load_scans_parallel(
         mappings = ScanNetMappings(meta_dir)
         return {
             sid: Scan(sid, scan_dir, True, mappings=mappings,
-                      keep_points=keep_points)
+                      keep_points=keep_points, spatial_sort=spatial_sort)
             for sid in scan_ids
         }
     with ProcessPoolExecutor(
@@ -311,21 +375,22 @@ def load_scans_parallel(
         scans = list(
             ex.map(
                 _load_one,
-                [(sid, scan_dir, meta_dir, keep_points) for sid in scan_ids],
+                [(sid, scan_dir, meta_dir, keep_points, spatial_sort)
+                 for sid in scan_ids],
             )
         )
     return dict(zip(scan_ids, scans))
 
 
 def _load_one(args):
-    sid, scan_dir, meta_dir, keep_points = args
+    sid, scan_dir, meta_dir, keep_points, spatial_sort = args
     return Scan(sid, scan_dir, True, meta_dir=meta_dir,
-                keep_points=keep_points)
+                keep_points=keep_points, spatial_sort=spatial_sort)
 
 
 def save_scan_cache(
     filename: str, split: str, data_path: str, num_workers: int = 4,
-    keep_points: int = KEEP_POINTS,
+    keep_points: int = KEEP_POINTS, spatial_sort: bool = True,
 ):
     """Pickle all scans of a split to `{split}_v3scans.pkl`-style cache."""
     meta_dir = osp.join(data_path, "meta_data")
@@ -333,7 +398,7 @@ def save_scan_cache(
         scan_ids = [line.rstrip() for line in f if line.strip()]
     scans = load_scans_parallel(
         scan_ids, osp.join(data_path, "scans"), meta_dir, num_workers,
-        keep_points=keep_points,
+        keep_points=keep_points, spatial_sort=spatial_sort,
     )
     with open(filename, "wb") as f:
         pickle.dump(scans, f, protocol=pickle.HIGHEST_PROTOCOL)

@@ -28,6 +28,7 @@ def synthetic_batch(
     n_true_det: int = 20,
     seed: int = 0,
     vocab_size: int = 1024,  # <= every tokenizer/config we ship
+    spatial_sort: bool = True,
 ) -> Dict[str, np.ndarray]:
     rng = np.random.RandomState(seed)
     B, N, G, D, L = (
@@ -60,6 +61,17 @@ def synthetic_batch(
         for g in range(n_true_objects):
             lo = g * (N // (2 * n_true_objects))
             pil[b, lo : lo + 50] = g
+
+    if spatial_sort:
+        # mirror the production pipeline: clouds arrive Hilbert-ordered
+        # (data/scan.py), so the bench/dryrun exercise the model's
+        # presorted ball-query path; per-point labels permute alongside
+        from butd_detr_tpu.data.scan import hilbert_code
+
+        for b in range(B):
+            perm = np.argsort(hilbert_code(pc[b, :, :3]), kind="stable")
+            pc[b] = pc[b, perm]
+            pil[b] = pil[b, perm]
 
     det_mask = np.zeros((B, D), bool)
     det_mask[:, :n_true_det] = True

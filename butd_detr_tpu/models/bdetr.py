@@ -87,6 +87,10 @@ class BeaUTyDETR(nn.Module):
     # while BatchNorm statistics and all geometry (FPS/ball query/xyz)
     # stay f32. Cast back to `dtype` at the fp2 boundary.
     backbone_dtype: Optional[jnp.dtype] = None
+    # the input cloud is stored in spatially local (Hilbert) order by the
+    # data pipeline (data/scan.py); sa1's ball query then skips its two
+    # device prep sorts. Exactness never depends on this claim.
+    input_presorted: bool = False
 
     @nn.compact
     def __call__(self, inputs: Dict[str, Any], *, train: bool = False):
@@ -98,6 +102,7 @@ class BeaUTyDETR(nn.Module):
             input_feature_dim=self.input_feature_dim,
             output_dim=d,
             npoints=self.backbone_npoints,
+            input_presorted=self.input_presorted,
             dtype=self.backbone_dtype or self.dtype, name="backbone_net",
         )(inputs["point_clouds"], train=train)
         ep = {

@@ -26,6 +26,9 @@ class Pointnet2Backbone(nn.Module):
     npoints: tuple = (2048, 1024, 512, 256)
     radii: tuple = (0.2, 0.4, 0.8, 1.2)
     nsamples: tuple = (64, 32, 16, 16)
+    # input cloud is stored in spatially local (Hilbert) order — applies
+    # to sa1 only (sa2-4 query FPS subsets, whose order is max-min spread)
+    input_presorted: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -46,7 +49,8 @@ class Pointnet2Backbone(nn.Module):
         np_, r_, ns_ = self.npoints, self.radii, self.nsamples
         xyz1, feat1, inds1 = PointnetSAModuleVotes(
             npoint=np_[0], radius=r_[0], nsample=ns_[0],
-            mlp=[64 * w] * d + [128 * w], **sa_cfg, name="sa1",
+            mlp=[64 * w] * d + [128 * w], **sa_cfg,
+            presorted=self.input_presorted, name="sa1",
         )(xyz, features, train=train)
         end_points["sa1_inds"] = inds1
         end_points["sa1_xyz"] = xyz1

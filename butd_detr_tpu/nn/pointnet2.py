@@ -35,9 +35,16 @@ class QueryAndGroup(nn.Module):
     nsample: int
     use_xyz: bool = True
     normalize_xyz: bool = False
+    # candidate cloud is stored in spatially local (Hilbert) order — lets
+    # the pruned ball query skip its device prep sorts (ops/pointcloud.py);
+    # exactness never depends on the claim
+    presorted: bool = False
 
     def __call__(self, xyz, new_xyz, features=None):
-        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+        idx = ball_query(
+            self.radius, self.nsample, xyz, new_xyz,
+            presorted=self.presorted,
+        )
         if features is not None:
             # ONE row gather for xyz+features: TPU gather cost is
             # per-row-dominated (the separate 3-channel xyz gather costs
@@ -81,6 +88,7 @@ class PointnetSAModuleVotes(nn.Module):
     normalize_xyz: bool = False
     pooling: str = "max"
     sigma: Optional[float] = None
+    presorted: bool = False  # see QueryAndGroup.presorted
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,6 +108,7 @@ class PointnetSAModuleVotes(nn.Module):
         grouped, grouped_xyz = QueryAndGroup(
             self.radius, self.nsample,
             use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
+            presorted=self.presorted,
         )(xyz, new_xyz, features)
 
         new_features = SharedMLP(self.mlp, dtype=self.dtype)(

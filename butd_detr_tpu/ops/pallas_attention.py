@@ -27,10 +27,17 @@ Design (shapes here: Lq, Lk <= ~1024, head_dim 36):
     nn/attention.py and torch;
   * dropout: keep iff uniform uint32 >= p * 2^32, scale kept probs by
     1/(1-p) — applied AFTER normalization, exactly like torch;
-  * matmul precision HIGHEST (Mosaic supports only DEFAULT|HIGHEST; ~f32): the TPU default is a single
-    bf16 pass (~0.4% relative), visibly off the unfused f32 path; HIGH
-    exceeds the TF32 precision the reference itself trained with on
-    A100 (torch 1.10 default);
+  * matmul precision (r3): DEFAULT = bf16 inputs, ONE MXU pass per tile,
+    f32 accumulation (preferred_element_type) and f32 softmax — the
+    standard TPU flash-attention recipe. The r3 profile showed the
+    attention family at 92 ms of a 380 ms step with the old
+    Precision.HIGHEST setting, which decomposes every f32 matmul into
+    SIX bf16 passes; one bf16 pass is ~0.4% relative on the scores,
+    comparable to the TF32 (10-bit mantissa) matmuls the reference
+    itself trained with on A100 (torch 1.10 default). `precise=True`
+    (or env BUTD_ATTN_PRECISE=1) restores f32/HIGHEST for strict
+    parity studies; the dropout mask and all semantics are identical
+    in both modes;
   * backward recomputes scores/probs/mask per block (no residuals except
     the forward output is not even needed):
         dPt = D * (dO V^T)            D = mask/(1-p)
@@ -54,13 +61,20 @@ def _seed_for(seed, bh, qi, nq):
     return seed + bh * nq + qi
 
 
-def _prob_block(q, k, kvmask):
-    """(BQ, D) x (Lk, D) -> softmax probs (BQ, Lk), torch-min masking."""
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+def _mm(a, b, dims, precise):
+    """dot_general with f32 accumulation; bf16 single-pass unless precise."""
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )  # (BQ, Lk)
+        precision=lax.Precision.HIGHEST if precise
+        else lax.Precision.DEFAULT,
+    )
+
+
+def _prob_block(q, k, kvmask, precise):
+    """(BQ, D) x (Lk, D) -> softmax probs (BQ, Lk), torch-min masking.
+    Scores accumulate in f32; softmax is f32 in both modes."""
+    s = _mm(q, k, ((1,), (1,)), precise)  # (BQ, Lk)
     s = jnp.where(kvmask[None, :] > 0, s, NEG)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
@@ -77,26 +91,24 @@ def _drop_mask(shape, p_drop):
     return jnp.where(keep, 1.0 / (1.0 - p_drop), 0.0).astype(jnp.float32)
 
 
-def _fwd_kernel(p_drop, nq, q_ref, k_ref, v_ref, mask_ref, seed_ref,
-                o_ref):
+def _fwd_kernel(p_drop, nq, precise, q_ref, k_ref, v_ref, mask_ref,
+                seed_ref, o_ref):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bh = pl.program_id(0)
     qi = pl.program_id(1)
-    p = _prob_block(q_ref[0], k_ref[0], mask_ref[0, 0])
+    p = _prob_block(q_ref[0], k_ref[0], mask_ref[0, 0], precise)
     if p_drop > 0.0:
         pltpu.prng_seed(_seed_for(seed_ref[0], bh, qi, nq))
         p = p * _drop_mask(p.shape, p_drop)
-    o_ref[0] = jax.lax.dot_general(
-        p, v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
+    if not precise:
+        p = p.astype(jnp.bfloat16)
+    o_ref[0] = _mm(p, v_ref[0], ((1,), (0,)), precise)
 
 
-def _bwd_kernel(p_drop, nq, q_ref, k_ref, v_ref, mask_ref, seed_ref,
-                do_ref, dq_ref, dk_ref, dv_ref):
+def _bwd_kernel(p_drop, nq, precise, q_ref, k_ref, v_ref, mask_ref,
+                seed_ref, do_ref, dq_ref, dk_ref, dv_ref):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -106,41 +118,29 @@ def _bwd_kernel(p_drop, nq, q_ref, k_ref, v_ref, mask_ref, seed_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    p = _prob_block(q, k, mask_ref[0, 0])
+    p = _prob_block(q, k, mask_ref[0, 0], precise)
     if p_drop > 0.0:
         pltpu.prng_seed(_seed_for(seed_ref[0], bh, qi, nq))
         d = _drop_mask(p.shape, p_drop)
     else:
         d = None
-    dov = jax.lax.dot_general(  # dO V^T: (BQ, Lk)
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
+    dov = _mm(do, v, ((1,), (1,)), precise)  # dO V^T: (BQ, Lk)
     dpt = dov if d is None else d * dov
     ds = p * (dpt - jnp.sum(dpt * p, axis=-1, keepdims=True))
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
     dp_eff = p if d is None else d * p
+    if not precise:
+        ds = ds.astype(jnp.bfloat16)
+        dp_eff = dp_eff.astype(jnp.bfloat16)
+    dq_ref[0] = _mm(ds, k, ((1,), (0,)), precise)
 
     @pl.when(qi == 0)
     def _init():
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    dk_ref[0] += jax.lax.dot_general(  # dS^T Q: (Lk, D)
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
-    dv_ref[0] += jax.lax.dot_general(  # (D*P)^T dO: (Lk, D)
-        dp_eff, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,
-    )
+    # dk/dv accumulate in the f32 output blocks across q-blocks
+    dk_ref[0] += _mm(ds, q, ((0,), (0,)), precise)  # dS^T Q: (Lk, D)
+    dv_ref[0] += _mm(dp_eff, do, ((0,), (0,)), precise)  # (D*P)^T dO
 
 
 def _block_q(lq):
@@ -154,13 +154,13 @@ def _block_q(lq):
     return lq  # already padded to a multiple of 8 by the wrapper
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _attend(q, k, v, kvmask, seed, p_drop, interpret):
-    out, _ = _attend_fwd(q, k, v, kvmask, seed, p_drop, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _attend(q, k, v, kvmask, seed, p_drop, interpret, precise):
+    out, _ = _attend_fwd(q, k, v, kvmask, seed, p_drop, interpret, precise)
     return out
 
 
-def _call(kernel, p_drop, q, k, v, kvmask, seed, n_out, interpret):
+def _call(kernel, p_drop, precise, q, k, v, kvmask, seed, n_out, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -197,7 +197,7 @@ def _call(kernel, p_drop, q, k, v, kvmask, seed, n_out, interpret):
                          memory_space=pltpu.VMEM)  # dO
         )
     res = pl.pallas_call(
-        partial(kernel, p_drop, nq),
+        partial(kernel, p_drop, nq, precise),
         grid=(BH, nq),
         in_specs=in_specs,
         out_specs=out_specs if n_out == 3 else out_specs[0],
@@ -210,16 +210,18 @@ def _call(kernel, p_drop, q, k, v, kvmask, seed, n_out, interpret):
     return res
 
 
-def _attend_fwd(q, k, v, kvmask, seed, p_drop, interpret):
-    out = _call(_fwd_kernel, p_drop, q, k, v, kvmask, seed, 1,
+def _attend_fwd(q, k, v, kvmask, seed, p_drop, interpret, precise):
+    out = _call(_fwd_kernel, p_drop, precise, q, k, v, kvmask, seed, 1,
                 interpret)(q, k, v, kvmask, seed)
     return out, (q, k, v, kvmask, seed)
 
 
-def _attend_bwd(p_drop, interpret, resid, do):
+def _attend_bwd(p_drop, interpret, precise, resid, do):
     q, k, v, kvmask, seed = resid
-    dq, dk, dv = _call(_bwd_kernel, p_drop, q, k, v, kvmask, seed, 3,
-                       interpret)(q, k, v, kvmask, seed, do)
+    if not precise:
+        do = do.astype(jnp.bfloat16)
+    dq, dk, dv = _call(_bwd_kernel, p_drop, precise, q, k, v, kvmask,
+                       seed, 3, interpret)(q, k, v, kvmask, seed, do)
     return dq, dk, dv, None, None
 
 
@@ -236,6 +238,7 @@ def fused_attention(
     dropout_p: float = 0.0,
     dropout_seed=None,  # int32 scalar array; required when dropout_p > 0
     interpret: bool = False,
+    precise: bool = None,  # None => env BUTD_ATTN_PRECISE (default off)
 ):
     """Fused scaled-dot-product attention with prob-dropout.
 
@@ -244,18 +247,29 @@ def fused_attention(
     post-normalization dropout scaled by 1/(1-p). Differentiable in
     q/k/v (the dropout mask is regenerated from the same seed in the
     backward kernels).
+
+    `precise=False` (default): bf16 matmul inputs, f32 accumulation and
+    f32 softmax — one MXU pass per tile and half the VMEM traffic.
+    `precise=True` / BUTD_ATTN_PRECISE=1: f32 inputs at HIGHEST, for
+    strict-parity studies (dropout masks and semantics are identical).
     """
+    import os
+
+    if precise is None:
+        precise = os.environ.get("BUTD_ATTN_PRECISE", "0") == "1"
     B, H, Lq, Dh = q.shape
     Lk = k.shape[2]
     qpad = (-Lq) % 8
     kpad = (-Lk) % 128
+    in_dtype = jnp.float32 if precise else jnp.bfloat16
 
     def prep(x, pad_l):
-        x = x.astype(jnp.float32) * 1.0
+        # scale/cast in f32 first so bf16 rounds the SCALED q once
+        x = x.astype(jnp.float32).astype(in_dtype)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_l), (0, DPAD - Dh)))
         return x.reshape(B * H, x.shape[2], DPAD)
 
-    qf = prep(q * jnp.asarray(sm_scale, q.dtype), qpad)
+    qf = prep(q.astype(jnp.float32) * sm_scale, qpad)
     kf = prep(k, kpad)
     vf = prep(v, kpad)
     if key_padding_mask is None:
@@ -269,6 +283,6 @@ def fused_attention(
     else:
         seed = jnp.asarray(dropout_seed, jnp.int32).reshape(1)
     out = _attend(qf, kf, vf, mask, seed, float(dropout_p),
-                  bool(interpret))
+                  bool(interpret), bool(precise))
     out = out.reshape(B, H, Lq + qpad, DPAD)[:, :, :Lq, :Dh]
     return out

@@ -451,7 +451,8 @@ def _ball_query_pruned(
 
 
 def _ball_query_pruned_pallas(
-    radius, nsample, xyz, new_xyz, k_chunks=64, interpret=False
+    radius, nsample, xyz, new_xyz, k_chunks=64, interpret=False,
+    presorted=False,
 ):
     """Hilbert-pruned EXACT ball query backed by the Pallas selection
     kernel (ops/pallas_ball_query.py) — the production TPU path for the
@@ -462,6 +463,15 @@ def _ball_query_pruned_pallas(
     MXU gathers. Falls back to the full sweep (lax.cond) whenever any
     tile's relevant-chunk count exceeds k_chunks, so results are always
     bit-identical to `_ball_query_scan`.
+
+    `presorted=True` declares the caller already stores points in a
+    spatially local order (the data pipeline's host-side Hilbert sort,
+    data/scan.py): both device sorts — the big 5-operand candidate sort
+    AND the per-chunk id re-sort (positions ascend naturally) — are
+    skipped. EXACTNESS DOES NOT DEPEND ON THE CLAIM: chunk AABBs are
+    correct for any order; a badly-ordered input only loosens the AABBs,
+    which at worst trips the count_max guard into the full-sweep
+    fallback (still bit-identical, just slower).
     """
     from butd_detr_tpu.ops.pallas_ball_query import (
         GT,
@@ -484,23 +494,33 @@ def _ball_query_pruned_pallas(
     ids = jnp.broadcast_to(
         jnp.arange(N + pad, dtype=jnp.int32), (B, N + pad)
     )
-    code = jnp.where(
-        jnp.arange(N + pad) >= N, jnp.int32(2**30),
-        _hilbert3(xyz_p, lo, hi),
-    )
-    _, xs, ys, zs, ids_s = lax.sort(
-        (code, xyz_p[..., 0], xyz_p[..., 1], xyz_p[..., 2], ids),
-        dimension=1, num_keys=1,
-    )
     nc = (N + pad) // C
-    cxc = xs.reshape(B, nc, C)
-    cyc = ys.reshape(B, nc, C)
-    czc = zs.reshape(B, nc, C)
-    idc = ids_s.reshape(B, nc, C)
-    # kernel contract: every chunk row ascends by ORIGINAL id
-    idc, cxc, cyc, czc = lax.sort(
-        (idc, cxc, cyc, czc), dimension=2, num_keys=1
-    )
+    if presorted:
+        # input order IS the spatial order; sentinels already last and
+        # positions ascend within every chunk (kernel id contract holds)
+        xs, ys, zs = xyz_p[..., 0], xyz_p[..., 1], xyz_p[..., 2]
+        ids_s = ids
+        cxc = xs.reshape(B, nc, C)
+        cyc = ys.reshape(B, nc, C)
+        czc = zs.reshape(B, nc, C)
+        idc = ids_s.reshape(B, nc, C)
+    else:
+        code = jnp.where(
+            jnp.arange(N + pad) >= N, jnp.int32(2**30),
+            _hilbert3(xyz_p, lo, hi),
+        )
+        _, xs, ys, zs, ids_s = lax.sort(
+            (code, xyz_p[..., 0], xyz_p[..., 1], xyz_p[..., 2], ids),
+            dimension=1, num_keys=1,
+        )
+        cxc = xs.reshape(B, nc, C)
+        cyc = ys.reshape(B, nc, C)
+        czc = zs.reshape(B, nc, C)
+        idc = ids_s.reshape(B, nc, C)
+        # kernel contract: every chunk row ascends by ORIGINAL id
+        idc, cxc, cyc, czc = lax.sort(
+            (idc, cxc, cyc, czc), dimension=2, num_keys=1
+        )
     clo = jnp.stack(
         [cxc.min(axis=2), cyc.min(axis=2), czc.min(axis=2)], axis=-1
     )
@@ -641,7 +661,7 @@ def _ball_query_pruned_pallas(
     jax.jit,
     static_argnums=(0, 1),
     static_argnames=("chunk_size", "prune_threshold", "center_tile",
-                     "k_chunks", "use_pallas"),
+                     "k_chunks", "use_pallas", "presorted"),
 )
 def ball_query(
     radius: float,
@@ -654,6 +674,7 @@ def ball_query(
     center_tile: int = 16,
     k_chunks: int = 160,
     use_pallas: Optional[bool] = None,
+    presorted: bool = False,
 ) -> jax.Array:
     """Fixed-radius neighbor search with first-k-in-index-order semantics.
 
@@ -701,9 +722,10 @@ def ball_query(
     if use_pallas and pallas_valid:
         # production sa1 path: Pallas selection kernel over Hilbert-pruned
         # tiles (exact; self-falls-back to the full sweep when pruning
-        # budgets are exceeded)
+        # budgets are exceeded). presorted=True (data-pipeline Hilbert
+        # order, data/scan.py) skips both device prep sorts.
         return _ball_query_pruned_pallas(float(radius), nsample, xyz,
-                                         new_xyz)
+                                         new_xyz, presorted=presorted)
     if prune_threshold and N >= prune_threshold and m >= center_tile:
         return _ball_query_pruned(
             float(radius), nsample, xyz, new_xyz,

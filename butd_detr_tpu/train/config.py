@@ -113,6 +113,14 @@ class Config:
     # use_bf16 (which covers the transformer stack too).
     backbone_bf16: bool = True
     freeze_text_encoder: bool = True
+    # The data pipeline stores each scan's subsampled cloud in Hilbert
+    # (spatially local) order (data/scan.py) and the model's sa1 ball
+    # query skips its two on-device prep sorts (ops/pointcloud.py
+    # presorted=True). A point set is order-free, so semantics are
+    # unchanged; results stay exact even if the data is NOT sorted (the
+    # pruning guard then falls back to the full sweep — just slower).
+    # --no-spatial_sort keeps the reference's random subsample order.
+    spatial_sort: bool = True
 
     def __post_init__(self):
         if self.joint_det and self.max_text_len < 128:

@@ -128,6 +128,7 @@ class TrainTester:
             max_text_len=cfg.max_text_len,
             max_num_obj=cfg.max_num_obj,
             max_det_boxes=cfg.max_det_boxes,
+            spatial_sort=cfg.spatial_sort,
         )
         train_dataset = JointGroundingDataset(
             dataset_dict=dataset_dict,

@@ -88,6 +88,7 @@ def build_model(cfg: Config, roberta_config=None,
         dtype=jnp.bfloat16 if cfg.use_bf16 else jnp.float32,
         backbone_dtype=jnp.bfloat16 if cfg.backbone_bf16 else None,
         freeze_text=cfg.freeze_text_encoder,
+        input_presorted=cfg.spatial_sort,
     )
 
 

@@ -604,3 +604,34 @@ def test_loader_pads_tail_batch_with_valid_marker():
     batches2 = list(dl2)
     assert len(batches2) == 2
     assert all("__valid__" not in b for b in batches2)
+
+
+def test_scan_points_stored_in_hilbert_order(scans):
+    """The data pipeline stores each subsampled cloud in Hilbert order
+    (Scan.load_point_cloud spatial_sort): codes are non-decreasing and
+    per-point arrays (color/label/object point indices) stay aligned
+    through the folded `choices` permutation."""
+    from butd_detr_tpu.data.scan import Scan, hilbert_code
+
+    scan = next(iter(scans.values()))
+    code = hilbert_code(scan.pc)
+    assert (np.diff(code) >= 0).all(), "cloud not in Hilbert order"
+    assert len(scan.color) == len(scan.pc) == len(scan.choices)
+    # object point indices index the sorted cloud: object AABB from those
+    # rows must tightly contain the object's sampled points
+    for o in scan.three_d_objects:
+        if len(o["points"]) == 0:
+            continue
+        pts = scan.pc[o["points"], :3]
+        assert np.isfinite(pts).all()
+    # opt-out keeps the reference's random subsample order (same SET of
+    # rows, different order)
+    unsorted = Scan(
+        scan.scan_id, scan.top_scan_dir, False,
+        mappings=scan.mappings, keep_points=len(scan.pc),
+        spatial_sort=False,
+    )
+    assert sorted(unsorted.choices.tolist()) == sorted(
+        scan.choices.tolist()
+    )
+    assert not (unsorted.choices == scan.choices).all()
