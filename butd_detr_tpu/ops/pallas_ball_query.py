@@ -40,24 +40,32 @@ from jax import lax
 
 LANES = 128  # chunk size C == lane width
 TR = 8  # centers per tile
-GT = 16  # tiles per grid program (GT*TR == 128 sublane rows)
+GT = 32  # default tiles per grid program (GT*TR sublane rows; r3 sweep:
+# 39.0 ms vs 46.5 at gt=16 on the sa1 production shape, bit-identical;
+# gt=64 exceeds the 16 MB scoped-VMEM stack at k_chunks=64)
 BIGKEY = 2**30  # python int: jnp scalars would be captured as traced consts
 
 
-def _ball_select_kernel(nsample, r2, k_chunks, n_chunks, coords_ref,
+def _ball_select_kernel(nsample, r2, k_chunks, gt, n_chunks, coords_ref,
                         ids_ref, cen_ref, out_ref):
-    """coords_ref (3*K, GT, C) f32 chunk planes (x block, y block, z block);
-    ids_ref (K, GT, C) i32 ascending per (chunk, tile) row;
-    cen_ref (3*GT*TR, C) f32, every lane equal; out_ref (GT*TR, C) i32.
+    """coords_ref (3*K, gt, C) f32 chunk planes (x block, y block, z block);
+    ids_ref (K, gt, C) i32 ascending per (chunk, tile) row;
+    cen_ref (3*gt*TR, C) f32, every lane equal; out_ref (gt*TR, C) i32.
 
     `k_chunks` (static) is the plane stride; `n_chunks` (traced i32 scalar,
     <= k_chunks) is the loop trip count — chunk slots past each tile's
     relevant count hold the pure-sentinel chunk (coords 1e9, zero hits), so
-    stopping at the per-program max relevant count is exact."""
+    stopping at the per-program max relevant count is exact.
+
+    `gt` (static) is the tiles-per-program width: every roll/select stage
+    operates on a (gt*TR, LANES) block, so the stage-latency-bound chunk
+    loop amortizes over gt tiles at once; larger gt also cuts the program
+    count (grid programs serialize on the single TensorCore) at the cost
+    of a looser per-program trip bound (max over gt tiles)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    ROWS = GT * TR  # 128
+    ROWS = gt * TR
     cen = cen_ref[:]
     cx = cen[0:ROWS]
     cy = cen[ROWS : 2 * ROWS]
@@ -165,28 +173,29 @@ def _ball_select_kernel(nsample, r2, k_chunks, n_chunks, coords_ref,
 @partial(
     jax.jit,
     static_argnums=(0, 1),
-    static_argnames=("k_chunks", "interpret"),
+    static_argnames=("k_chunks", "gt", "interpret"),
 )
 def ball_query_select_pallas(
     radius: float,
     nsample: int,
-    coords: jax.Array,  # (P2, 3*K, GT, C) f32 gathered chunk planes
-    ids: jax.Array,  # (P2, K, GT, C) i32 ascending per chunk row
-    centers: jax.Array,  # (P2, 3*GT*TR, C) f32 lane-broadcast centers
+    coords: jax.Array,  # (P2, 3*K, gt, C) f32 gathered chunk planes
+    ids: jax.Array,  # (P2, K, gt, C) i32 ascending per chunk row
+    centers: jax.Array,  # (P2, 3*gt*TR, C) f32 lane-broadcast centers
     counts: jax.Array,  # (P2,) i32 per-program chunk trip count <= k_chunks
     *,
     k_chunks: int,
+    gt: int = GT,
     interpret: bool = False,
 ) -> jax.Array:
-    """Run the selection kernel over P2 groups of GT tiles.
+    """Run the selection kernel over P2 groups of `gt` tiles.
 
     `counts[p]` bounds program p's chunk loop (the max relevant-chunk
-    count over its GT tiles, computed by the prep); slots past each
+    count over its gt tiles, computed by the prep); slots past each
     tile's own count hold the pure-sentinel chunk, so the short loop is
     exact while cutting the dominant roll-network cost from the static
     budget to the data's actual density.
 
-    Returns (P2, GT*TR, C) i32; lanes [0, nsample) hold the
+    Returns (P2, gt*TR, C) i32; lanes [0, nsample) hold the
     reference-exact neighbor ids (original indexing).
     """
     from jax.experimental import pallas as pl
@@ -196,7 +205,7 @@ def ball_query_select_pallas(
 
     def kernel(counts_ref, c_ref, i_ref, cen_ref, o_ref):
         _ball_select_kernel(
-            nsample, float(radius) * float(radius), k_chunks,
+            nsample, float(radius) * float(radius), k_chunks, gt,
             counts_ref[pl.program_id(0)],
             c_ref.at[0], i_ref.at[0], cen_ref.at[0], o_ref.at[0],
         )
@@ -205,22 +214,22 @@ def ball_query_select_pallas(
         num_scalar_prefetch=1,
         grid=(P2,),
         in_specs=[
-            pl.BlockSpec((1, 3 * k_chunks, GT, LANES),
+            pl.BlockSpec((1, 3 * k_chunks, gt, LANES),
                          lambda p, _: (p, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_chunks, GT, LANES),
+            pl.BlockSpec((1, k_chunks, gt, LANES),
                          lambda p, _: (p, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * GT * TR, LANES),
+            pl.BlockSpec((1, 3 * gt * TR, LANES),
                          lambda p, _: (p, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, GT * TR, LANES), lambda p, _: (p, 0, 0),
+        out_specs=pl.BlockSpec((1, gt * TR, LANES), lambda p, _: (p, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P2, GT * TR, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((P2, gt * TR, LANES), jnp.int32),
         interpret=interpret,
     )(jnp.clip(counts.astype(jnp.int32), 0, k_chunks), coords, ids, centers)

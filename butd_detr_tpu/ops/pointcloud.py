@@ -13,6 +13,7 @@ are expressed as `take_along_axis`/einsum, so their scatter-add gradients
 autodiff for free.
 """
 
+import os
 from functools import partial
 from typing import Optional
 
@@ -452,7 +453,7 @@ def _ball_query_pruned(
 
 def _ball_query_pruned_pallas(
     radius, nsample, xyz, new_xyz, k_chunks=64, interpret=False,
-    presorted=False,
+    presorted=False, gt=None,
 ):
     """Hilbert-pruned EXACT ball query backed by the Pallas selection
     kernel (ops/pallas_ball_query.py) — the production TPU path for the
@@ -474,11 +475,18 @@ def _ball_query_pruned_pallas(
     fallback (still bit-identical, just slower).
     """
     from butd_detr_tpu.ops.pallas_ball_query import (
-        GT,
+        GT as GT_DEFAULT,
         LANES as C,
         TR,
         ball_query_select_pallas,
     )
+
+    if gt is None:
+        # tiles per kernel program: stage latency amortizes over gt*TR
+        # rows, so larger groups cut the serialized roll-network chains
+        # (BUTD_BQ_GT for on-chip A/B; measured tuning in PERF.md)
+        gt = int(os.environ.get("BUTD_BQ_GT", GT_DEFAULT))
+    GT = gt
 
     B, N, _ = xyz.shape
     m = new_xyz.shape[1]
@@ -629,7 +637,7 @@ def _ball_query_pruned_pallas(
             gids = group(gid)
             out = ball_query_select_pallas(
                 float(radius), nsample, coords, gids, cen_b, counts_prog,
-                k_chunks=k, interpret=interpret,
+                k_chunks=k, gt=GT, interpret=interpret,
             )
             idx_sorted = (
                 out.reshape(B, G, TR, GT, C)
