@@ -575,22 +575,41 @@ def _ball_query_pruned_pallas(
     # the first k_small entries ARE the k_small-tier selection
     inv = jnp.argsort(corder, axis=1)
 
+    # ---- balance kernel programs by tile density --------------------------
+    # The kernel's chunk-loop trip is the per-program MAX relevant count
+    # over its GT tiles (counts at the sa1 shape: mean ~13.5, max ~33), so
+    # grouping similar-count tiles turns sum-of-maxes into ~sum-of-means.
+    # Tile order is free: rows are unpermuted per ORIGINAL center below.
+    tile_perm = jnp.argsort(count_rel, axis=1)  # (B, T) new slot -> old tile
+    chunk_ids = jnp.take_along_axis(chunk_ids, tile_perm[..., None], axis=1)
+    tiles = jnp.take_along_axis(tiles, tile_perm[..., None, None], axis=1)
+    count_rel = jnp.take_along_axis(count_rel, tile_perm, axis=1)
+    # fold the reorder into the center unpermute: sorted-center j (old row
+    # layout tile j//TR, slot j%TR) now lives on row inv_tile[j//TR]*TR+j%TR
+    tile_inv = jnp.argsort(tile_perm, axis=1)  # old tile -> new slot
+    inv = (
+        jnp.take_along_axis(tile_inv, inv // TR, axis=1) * TR + inv % TR
+    )
+
     # pad tile count to a multiple of GT (kernel processes GT at once)
     tpad = (-T) % GT
     cids_p = chunk_ids
     tiles_p = tiles
     counts_t = count_rel  # (B, T) per-tile relevant-chunk counts
     if tpad:
+        # pad by replicating the FIRST tile: after the density sort it has
+        # the smallest count, so padding never raises a program's trip
+        # bound (pad rows are never selected by `inv`)
         cids_p = jnp.concatenate(
             [cids_p, jnp.broadcast_to(
-                cids_p[:, -1:], (B, tpad, k_chunks))], axis=1
+                cids_p[:, :1], (B, tpad, k_chunks))], axis=1
         )
         tiles_p = jnp.concatenate(
             [tiles_p, jnp.broadcast_to(
-                tiles_p[:, -1:], (B, tpad, TR, 3))], axis=1
+                tiles_p[:, :1], (B, tpad, TR, 3))], axis=1
         )
         counts_t = jnp.concatenate(
-            [counts_t, jnp.broadcast_to(counts_t[:, -1:], (B, tpad))],
+            [counts_t, jnp.broadcast_to(counts_t[:, :1], (B, tpad))],
             axis=1,
         )
     Tp = T + tpad
@@ -639,10 +658,13 @@ def _ball_query_pruned_pallas(
                 float(radius), nsample, coords, gids, cen_b, counts_prog,
                 k_chunks=k, gt=GT, interpret=interpret,
             )
+            # keep ALL Tp*TR rows for the gather: with density-balanced
+            # tile order a real center may live past row m (inv spans the
+            # full padded row range)
             idx_sorted = (
                 out.reshape(B, G, TR, GT, C)
                 .transpose(0, 1, 3, 2, 4)
-                .reshape(B, Tp * TR, C)[:, :m, :nsample]
+                .reshape(B, Tp * TR, C)[:, :, :nsample]
             )
             return jnp.take_along_axis(idx_sorted, inv[..., None], axis=1)
 
