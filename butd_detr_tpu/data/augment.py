@@ -28,16 +28,21 @@ def _rot(theta_deg: float, axis: int) -> np.ndarray:
 
 
 def rot_x(pc: np.ndarray, theta: float) -> np.ndarray:
-    """Rotate (N, 3) points `theta` degrees about x."""
-    return pc @ _rot(theta, 0).T
+    """Rotate (N, 3) points `theta` degrees about x.
+
+    The 3x3 matrix is built in f64 but cast to the POINT dtype before the
+    big (N, 3) product: f32 clouds then rotate in f32 (2x host-augment
+    throughput on the 50k production clouds) instead of promoting every
+    point through f64 and casting back; f64 inputs are bit-unchanged."""
+    return pc @ _rot(theta, 0).astype(pc.dtype).T
 
 
 def rot_y(pc: np.ndarray, theta: float) -> np.ndarray:
-    return pc @ _rot(theta, 1).T
+    return pc @ _rot(theta, 1).astype(pc.dtype).T
 
 
 def rot_z(pc: np.ndarray, theta: float) -> np.ndarray:
-    return pc @ _rot(theta, 2).T
+    return pc @ _rot(theta, 2).astype(pc.dtype).T
 
 
 def box2points(box: np.ndarray) -> np.ndarray:
@@ -95,19 +100,23 @@ def augment_pointcloud(
     aug["theta_y"] = (2 * rng.rand() - 1) * 2.5
     pc[:, :3] = rot_y(pc[:, :3], aug["theta_y"])
 
+    # RNG draws stay f64 (order/value parity with the reference); the
+    # elementwise applications run in the cloud's dtype
     noise = rng.rand(len(pc), 3) * 5e-3
-    pc[:, :3] = pc[:, :3] + noise
+    pc[:, :3] = pc[:, :3] + noise.astype(pc.dtype)
 
     aug["shift"] = rng.random_sample((3,))[None, :] - 0.5
-    pc[:, :3] += aug["shift"]
+    pc[:, :3] += aug["shift"].astype(pc.dtype)
 
     aug["scale"] = 0.98 + 0.04 * rng.random_sample()
-    pc[:, :3] *= aug["scale"]
+    pc[:, :3] *= pc.dtype.type(aug["scale"])
 
     if color is not None:
-        color = color + MEAN_RGB
-        color = color * (0.98 + 0.04 * rng.random_sample((len(color), 3)))
-        color = color - MEAN_RGB
+        mean = MEAN_RGB.astype(color.dtype)
+        color = color + mean
+        scale = 0.98 + 0.04 * rng.random_sample((len(color), 3))
+        color = color * scale.astype(color.dtype)
+        color = color - mean
     return pc, color, aug
 
 

@@ -37,6 +37,21 @@ def main():
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: tiny model/points, 8-device mesh")
+    ap.add_argument("--trainable_text", action="store_true",
+                    help="train the text encoder (no pretrained RoBERTa is "
+                    "available offline, and a FROZEN random trunk caps "
+                    "alignment learning; the reference freezes a "
+                    "PRETRAINED trunk — bdetr.py:76-77 — so trainable is "
+                    "the closest spirit)")
+    ap.add_argument("--eval_train_split", action="store_true",
+                    help="evaluate on the TRAIN scenes (the r1b overfit "
+                    "metric) instead of held-out val scenes")
+    ap.add_argument("--butd_cls", action="store_true",
+                    help="GT-proposal classification setup (reference "
+                    "scripts/train_test_cls.sh: the model selects among "
+                    "given boxes instead of regressing them — the fast-"
+                    "converging benchmark variant, SR3D acc 67.0 in the "
+                    "reference README)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -82,7 +97,11 @@ def main():
     num_points = 1024 if args.tiny else 50000
     cfg = Config(
         dataset=["sr3d"], test_dataset="sr3d", data_root=root,
-        use_color=True, butd=True, self_attend=True,
+        use_color=True, butd=not args.butd_cls, butd_cls=args.butd_cls,
+        self_attend=True,
+        # reference train_test_cls.sh hyperparameters for the cls setup
+        **(dict(lr=1e-4, lr_backbone=1e-3, weight_decay=5e-4)
+           if args.butd_cls else {}),
         use_soft_token_loss=True, use_contrastive_align=True,
         batch_size=args.batch if not args.tiny else 8,
         num_points=num_points,
@@ -91,6 +110,8 @@ def main():
         print_freq=10, num_workers=2 if not args.tiny else 0,
         dp=8 if args.tiny else 1,
         log_dir=osp.join(args.out, "log"),
+        **(dict(freeze_text_encoder=False, text_encoder_lr=1e-4)
+           if args.trainable_text else {}),
         **(dict(num_encoder_layers=1, num_decoder_layers=1, num_target=16)
            if args.tiny else {}),
     )
@@ -122,10 +143,17 @@ def main():
                 max_text_len=c.max_text_len, max_num_obj=c.max_num_obj,
                 max_det_boxes=c.max_det_boxes,
             )
-            return (
-                JointGroundingDataset(split="train", **common),
-                JointGroundingDataset(split="val", **common),
-            )
+            train_ds = JointGroundingDataset(split="train", **common)
+            if args.eval_train_split:
+                # r1b-overfit-style metric: evaluate (unaugmented, val
+                # pipeline semantics) on the TRAIN scenes via a shadow
+                # root whose 'test' split lists the train scans
+                from scripts.train_split_eval import make_trainval_root
+
+                common2 = dict(common, data_path=make_trainval_root(root))
+                return train_ds, JointGroundingDataset(
+                    split="val", **common2)
+            return train_ds, JointGroundingDataset(split="val", **common)
 
         def get_model(self):
             if args.tiny:
