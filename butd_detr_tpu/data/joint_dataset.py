@@ -166,6 +166,26 @@ class JointGroundingDataset:
                     cache, split, data_path, spatial_sort=spatial_sort
                 )
             self.scans = load_scan_cache(cache, meta_dir=meta)
+            # each pickled Scan records the order it was built with; a
+            # pre-existing cache built with the OTHER spatial_sort setting
+            # is still correct (point sets are order-free; ball query
+            # falls back to the full sweep on unsorted data) but silently
+            # slower / non-reference-ordered — warn loudly (ADVICE r3)
+            stale = [
+                s.scan_id for s in self.scans.values()
+                if getattr(s, "spatial_sort", False) != spatial_sort
+            ]
+            if stale:
+                import warnings
+
+                warnings.warn(
+                    f"{cache} was built with spatial_sort="
+                    f"{not spatial_sort} but this run requests "
+                    f"spatial_sort={spatial_sort}; delete the cache to "
+                    f"rebuild ({len(stale)} scans, e.g. {stale[0]}). "
+                    "Results stay exact either way; presorted ball-query "
+                    "speed (or reference-parity order) is what changes."
+                )
 
         if split != "train":
             self.annos = self.load_annos(test_dataset)

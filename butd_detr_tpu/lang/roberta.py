@@ -83,13 +83,15 @@ class RobertaEmbeddings(nn.Module):
 class RobertaLayer(nn.Module):
     config: RobertaConfig
     dtype: jnp.dtype = jnp.float32
+    attn_precise: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, pad_mask, *, train: bool = False):
         c = self.config
         attn_out = MultiHeadAttention(
             c.hidden_size, c.num_attention_heads,
-            dropout=c.attention_dropout, dtype=self.dtype, name="attention",
+            dropout=c.attention_dropout, dtype=self.dtype,
+            precise=self.attn_precise, name="attention",
         )(x, x, x, key_padding_mask=pad_mask, train=train)
         attn_out = nn.Dropout(c.hidden_dropout, deterministic=not train)(
             attn_out
@@ -111,6 +113,7 @@ class RobertaModel(nn.Module):
 
     config: RobertaConfig
     dtype: jnp.dtype = jnp.float32
+    attn_precise: Optional[bool] = None
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, *, train: bool = False):
@@ -122,7 +125,9 @@ class RobertaModel(nn.Module):
             input_ids, train=train
         )
         for i in range(c.num_hidden_layers):
-            x = RobertaLayer(c, dtype=self.dtype, name=f"layer_{i}")(
+            x = RobertaLayer(c, dtype=self.dtype,
+                             attn_precise=self.attn_precise,
+                             name=f"layer_{i}")(
                 x, pad_mask, train=train
             )
         return x

@@ -91,6 +91,11 @@ class BeaUTyDETR(nn.Module):
     # data pipeline (data/scan.py); sa1's ball query then skips its two
     # device prep sorts. Exactness never depends on this claim.
     input_presorted: bool = False
+    # f32/HIGHEST attention matmuls for strict-parity studies; None (the
+    # default) resolves to the bf16 single-pass kernel unless the
+    # BUTD_ATTN_PRECISE env var overrides. Threaded from
+    # Config.attn_precise so the choice keys the jit cache.
+    attn_precise: Optional[bool] = None
 
     @nn.compact
     def __call__(self, inputs: Dict[str, Any], *, train: bool = False):
@@ -119,7 +124,8 @@ class BeaUTyDETR(nn.Module):
         # ---------------- text backbone (frozen) + projector (bdetr.py:163-174)
         if self.roberta is not None:
             text_hidden_states = RobertaModel(
-                self.roberta, dtype=self.dtype, name="text_encoder",
+                self.roberta, dtype=self.dtype,
+                attn_precise=self.attn_precise, name="text_encoder",
             )(inputs["text_ids"], inputs["text_mask"], train=False)
             # requires_grad=False parity: no grads into the trunk. This
             # also prunes the whole RoBERTa backward from the train step
@@ -177,7 +183,7 @@ class BeaUTyDETR(nn.Module):
             dim_feedforward=256,
             dropout=0.1, self_attend=self.self_attend,
             use_butd_enc_attn=self.butd, dtype=self.dtype,
-            name="cross_encoder",
+            attn_precise=self.attn_precise, name="cross_encoder",
         )(points_features, pos_feats, vis_padding_mask, text_feats,
           text_padding_mask, detected_feats, detected_mask, train=train)
         end_points["text_memory"] = text_feats
@@ -248,7 +254,8 @@ class BeaUTyDETR(nn.Module):
             query = BiDecoderLayer(
                 d, n_heads=8, dim_feedforward=256, dropout=0.1,
                 self_position_embedding=self.self_position_embedding,
-                butd=self.butd, dtype=self.dtype, name=f"decoder_{i}",
+                butd=self.butd, dtype=self.dtype,
+                attn_precise=self.attn_precise, name=f"decoder_{i}",
             )(query, points_features, text_feats, query_pos, None,
               text_padding_mask, detected_feats, detected_mask, train=train)
 

@@ -26,6 +26,7 @@ class BiDecoderLayer(nn.Module):
     self_position_embedding: str = "loc_learned"  # none | xyz_learned | loc_learned
     butd: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_precise: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -47,7 +48,7 @@ class BiDecoderLayer(nn.Module):
         )
         mha = lambda name: MultiHeadAttention(
             self.d_model, self.n_heads, dropout=self.dropout,
-            dtype=self.dtype, name=name,
+            dtype=self.dtype, precise=self.attn_precise, name=name,
         )
 
         if self.self_position_embedding != "none" and query_pos is not None:

@@ -50,13 +50,14 @@ class SelfAttnNoFFN(nn.Module):
     n_heads: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    attn_precise: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, pos=None, key_padding_mask=None, *, train=False):
         qk = x if pos is None else x + pos
         attn = MultiHeadAttention(
             self.d_model, self.n_heads, dropout=self.dropout,
-            dtype=self.dtype, name="self_attn",
+            dtype=self.dtype, precise=self.attn_precise, name="self_attn",
         )(qk, qk, x, key_padding_mask=key_padding_mask, train=train)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=jnp.float32)(x + attn)
@@ -69,6 +70,7 @@ class CrossAttentionLayer(nn.Module):
     dropout: float = 0.1
     use_butd_enc_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_precise: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -97,7 +99,8 @@ class CrossAttentionLayer(nn.Module):
         # language attends to vision
         t2 = MultiHeadAttention(
             self.d_model, self.n_heads, dropout=self.dropout,
-            dtype=self.dtype, name="cross_lv",
+            dtype=self.dtype, precise=self.attn_precise,
+            name="cross_lv",
         )(text_feats, vis_feats, vis_feats,
           key_padding_mask=vis_key_padding_mask, train=train)
         text_feats = norm("norm_lv")(text_feats + drop(t2))
@@ -110,7 +113,8 @@ class CrossAttentionLayer(nn.Module):
         # vision attends to (pre-update) language
         v2 = MultiHeadAttention(
             self.d_model, self.n_heads, dropout=self.dropout,
-            dtype=self.dtype, name="cross_vl",
+            dtype=self.dtype, precise=self.attn_precise,
+            name="cross_vl",
         )(qv, kt, vt,
           key_padding_mask=text_key_padding_mask, train=train)
         vis_feats = norm("norm_vl")(vis_feats + drop(v2))
@@ -119,7 +123,8 @@ class CrossAttentionLayer(nn.Module):
         if detected_feats is not None and self.use_butd_enc_attn:
             v2 = MultiHeadAttention(
                 self.d_model, self.n_heads, dropout=self.dropout,
-                dtype=self.dtype, name="cross_d",
+                dtype=self.dtype, precise=self.attn_precise,
+            name="cross_d",
             )(vis_feats, detected_feats, detected_feats,
               key_padding_mask=detected_mask, train=train)
             vis_feats = norm("norm_d")(vis_feats + drop(v2))
@@ -141,6 +146,7 @@ class BiEncoderLayer(nn.Module):
     self_attend_vis: bool = True
     use_butd_enc_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_precise: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -158,17 +164,20 @@ class BiEncoderLayer(nn.Module):
         if self.self_attend_vis:
             vis_feats = SelfAttnNoFFN(
                 self.d_model, self.n_heads, self.dropout,
-                dtype=self.dtype, name="self_attention_visual",
+                dtype=self.dtype, attn_precise=self.attn_precise,
+                name="self_attention_visual",
             )(vis_feats, pos=pos_feats, key_padding_mask=padding_mask,
               train=train)
         if self.self_attend_lang:
             text_feats = SelfAttnNoFFN(
                 self.d_model, self.n_heads, self.dropout,
-                dtype=self.dtype, name="self_attention_lang",
+                dtype=self.dtype, attn_precise=self.attn_precise,
+                name="self_attention_lang",
             )(text_feats, key_padding_mask=text_padding_mask, train=train)
         return CrossAttentionLayer(
             self.d_model, self.n_heads, self.dim_feedforward, self.dropout,
-            self.use_butd_enc_attn, dtype=self.dtype, name="cross_layer",
+            self.use_butd_enc_attn, dtype=self.dtype,
+            attn_precise=self.attn_precise, name="cross_layer",
         )(vis_feats, padding_mask, text_feats, text_padding_mask, pos_feats,
           detected_feats, detected_mask, train=train)
 
@@ -182,6 +191,7 @@ class BiEncoder(nn.Module):
     self_attend: bool = True
     use_butd_enc_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    attn_precise: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -203,7 +213,8 @@ class BiEncoder(nn.Module):
                 self_attend_lang=self.self_attend,
                 self_attend_vis=self.self_attend,
                 use_butd_enc_attn=self.use_butd_enc_attn,
-                dtype=self.dtype, name=f"layer_{i}",
+                dtype=self.dtype, attn_precise=self.attn_precise,
+                name=f"layer_{i}",
             )(vis_feats, pos_feats, padding_mask, text_feats,
               text_padding_mask, detected_feats, detected_mask, train=train)
         return vis_feats, text_feats

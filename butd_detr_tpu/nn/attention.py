@@ -33,6 +33,13 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: Optional[bool] = None  # None = auto (TPU backend)
+    # f32/HIGHEST matmuls inside the fused kernel (for strict-parity
+    # studies) instead of the default bf16-input/f32-accumulate single
+    # pass. None falls back to the BUTD_ATTN_PRECISE env var — a
+    # process-start-only escape hatch; config-built models thread the
+    # choice explicitly (Config.attn_precise) so it participates in the
+    # jit cache key.
+    precise: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -79,6 +86,7 @@ class MultiHeadAttention(nn.Module):
                 sm_scale=1.0 / (float(Dh) ** 0.5),
                 dropout_p=p_drop,
                 dropout_seed=seed,
+                precise=self.precise,
             ).transpose(0, 2, 1, 3).reshape(B, Lq, self.d_model)
             return nn.Dense(
                 self.d_model, kernel_init=XAVIER_UNIFORM, dtype=self.dtype,

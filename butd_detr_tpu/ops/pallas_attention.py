@@ -252,6 +252,12 @@ def fused_attention(
     f32 softmax — one MXU pass per tile and half the VMEM traffic.
     `precise=True` / BUTD_ATTN_PRECISE=1: f32 inputs at HIGHEST, for
     strict-parity studies (dropout masks and semantics are identical).
+
+    NOTE: the env fallback is resolved at TRACE time and does not key the
+    jit cache — changing BUTD_ATTN_PRECISE after the first compile in a
+    process is silently ignored. Config-built models thread the choice
+    explicitly (Config.attn_precise -> model attribute -> `precise=`),
+    which recompiles correctly.
     """
     import os
 

@@ -484,7 +484,11 @@ def _ball_query_pruned_pallas(
     if gt is None:
         # tiles per kernel program: stage latency amortizes over gt*TR
         # rows, so larger groups cut the serialized roll-network chains
-        # (BUTD_BQ_GT for on-chip A/B; measured tuning in PERF.md)
+        # (BUTD_BQ_GT for on-chip A/B; measured tuning in PERF.md).
+        # NOTE: read at TRACE time and not part of the jit cache key —
+        # changing the env var after the first compile in a process is
+        # silently ignored (set it at process start, or pass gt=
+        # explicitly, which IS a static arg and recompiles correctly).
         gt = int(os.environ.get("BUTD_BQ_GT", GT_DEFAULT))
     GT = gt
 

@@ -112,6 +112,13 @@ class Config:
     # --no-backbone_bf16 for strict f32 reference parity. Independent of
     # use_bf16 (which covers the transformer stack too).
     backbone_bf16: bool = True
+    # f32/HIGHEST matmuls inside the fused attention kernels (strict
+    # reference parity; ~20% step cost, PERF.md r3). Default off = bf16
+    # inputs with f32 accumulation/softmax — no worse than the TF32
+    # matmuls the reference trained with on A100. Threaded through the
+    # model so changing it recompiles (unlike the BUTD_ATTN_PRECISE env
+    # var, which is read once at trace time).
+    attn_precise: bool = False
     freeze_text_encoder: bool = True
     # The data pipeline stores each scan's subsampled cloud in Hilbert
     # (spatially local) order (data/scan.py) and the model's sa1 ball

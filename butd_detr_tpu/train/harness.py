@@ -222,16 +222,37 @@ class TrainTester:
         state = init_state(model, optimizer, sample, rng)
         self.logger.info(f"init_state: {time.time() - t0:.1f}s")
         state = self.init_pretrained(state)
-        # commit to the mesh's replicated sharding so every train/eval
-        # call shares one executable (parallel/mesh.commit_replicated)
-        state = commit_replicated(mesh, state)
+        if cfg.mp > 1:
+            # tensor-parallel: Megatron-style column/row sharding of the
+            # transformer stack over the mesh's mp axis (parallel/tp.py);
+            # params, optimizer moments, and both steps share the tp
+            # layout so every call reuses one executable
+            from butd_detr_tpu.parallel import commit_tp, state_shardings
 
-        train_step = shard_train_step(
-            make_train_step(model, cfg, optimizer), mesh
-        )
-        eval_step = shard_eval_step(
-            make_eval_step(model, cfg, with_loss=not cfg.butd_cls), mesh
-        )
+            state = commit_tp(mesh, state)
+            ss = state_shardings(mesh, state)
+            self.logger.info(
+                f"--mp {cfg.mp}: transformer params tensor-sharded over "
+                f"the mp axis (dp={mesh.shape['dp']}, mp={mesh.shape['mp']})"
+            )
+            train_step = shard_train_step(
+                make_train_step(model, cfg, optimizer), mesh,
+                state_shardings=ss,
+            )
+            eval_step = shard_eval_step(
+                make_eval_step(model, cfg, with_loss=not cfg.butd_cls),
+                mesh, state_shardings=ss,
+            )
+        else:
+            # commit to the mesh's replicated sharding so every train/eval
+            # call shares one executable (parallel/mesh.commit_replicated)
+            state = commit_replicated(mesh, state)
+            train_step = shard_train_step(
+                make_train_step(model, cfg, optimizer), mesh
+            )
+            eval_step = shard_eval_step(
+                make_eval_step(model, cfg, with_loss=not cfg.butd_cls), mesh
+            )
 
         start_epoch = cfg.start_epoch
         ckpt = cfg.checkpoint_path or (
@@ -334,6 +355,7 @@ class TrainTester:
         logging running-mean loss stats per print_freq window as the
         reference's `_main_eval_branch` does (main_utils.py:458-494)."""
         stat: Dict[str, float] = {}
+        wsum = 0.0
         n = len(test_loader)
         B = self.cfg.batch_size
         for batch_idx, batch in enumerate(test_loader):
@@ -355,12 +377,18 @@ class TrainTester:
                 # the evaluator pulls end_points to host right after this
                 # yield anyway, so a per-batch scalar device_get is free
                 vals = jax.device_get({k: end_points[k] for k in loss_keys})
+                # tail batches are padded by cyclic repetition; their loss
+                # scalars are means over the FULL padded batch, so weight
+                # by valid/B to keep the running mean per-REAL-sample
+                # (matches the reference's per-sample stats; ADVICE r3)
+                w = valid / B
+                wsum += w
                 for k, v in vals.items():
-                    stat[k] = stat.get(k, 0.0) + float(v)
+                    stat[k] = stat.get(k, 0.0) + float(v) * w
                 if (batch_idx + 1) % self.cfg.print_freq == 0:
                     self.logger.info(
                         f"Eval: [{batch_idx + 1}/{n}] " + " ".join(
-                            f"{k} {v / (batch_idx + 1):.4f}"
+                            f"{k} {v / wsum:.4f}"
                             for k, v in sorted(stat.items())
                         )
                     )

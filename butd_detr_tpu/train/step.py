@@ -89,6 +89,9 @@ def build_model(cfg: Config, roberta_config=None,
         backbone_dtype=jnp.bfloat16 if cfg.backbone_bf16 else None,
         freeze_text=cfg.freeze_text_encoder,
         input_presorted=cfg.spatial_sort,
+        # False -> None keeps the documented BUTD_ATTN_PRECISE env A/B
+        # knob working (process-start-only; see ops/pallas_attention.py)
+        attn_precise=cfg.attn_precise or None,
     )
 
 
@@ -192,23 +195,29 @@ def make_eval_step(model: BeaUTyDETR, cfg: Config, with_loss: bool = True):
     return eval_step
 
 
-def shard_train_step(train_step, mesh):
-    """jit the step with dp-sharded batch, replicated state."""
+def shard_train_step(train_step, mesh, state_shardings=None):
+    """jit the step with dp-sharded batch; state replicated by default,
+    or laid out per `state_shardings` (parallel/tp.state_shardings) when
+    the harness runs tensor-parallel (--mp)."""
     rep, shd = replicated(mesh), batch_sharding(mesh)
+    ss = state_shardings if state_shardings is not None else rep
     return jax.jit(
         train_step,
-        in_shardings=(rep, shd, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(ss, shd, rep),
+        out_shardings=(ss, rep),
         donate_argnums=(0,),
     )
 
 
-def shard_eval_step(eval_step, mesh):
+def shard_eval_step(eval_step, mesh, state_shardings=None):
     """jit the eval step with pinned output shardings: per-sample
     end_points stay batch-sharded on dp (so the evaluator's host pulls
     are deterministic slices, not whatever layout XLA picked), scalars
-    replicated."""
+    replicated. `state_shardings` (a state-shaped tree of NamedShardings,
+    parallel/tp.state_shardings) overrides the replicated state layout
+    when the harness runs tensor-parallel (--mp)."""
     rep, shd = replicated(mesh), batch_sharding(mesh)
+    ss = state_shardings if state_shardings is not None else rep
     dp_size = mesh.shape["dp"]
 
     def stepped(state, batch):
@@ -222,4 +231,4 @@ def shard_eval_step(eval_step, mesh):
             for k, v in out.items()
         }
 
-    return jax.jit(stepped, in_shardings=(rep, shd))
+    return jax.jit(stepped, in_shardings=(ss, shd))

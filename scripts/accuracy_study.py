@@ -175,15 +175,27 @@ def main():
                 epoch, loader, eval_step, state, mesh
             )
             row = {"epoch": epoch, "step": int(state.step)}
-            for t in (0.25, 0.5):
-                for k in (1, 5):
-                    for mode in ("bbs", "bbf"):
+            if args.butd_cls:
+                # GroundingGTEvaluator: exact-match accuracy per
+                # (prefix, mode) — no IoU thresholds / top-k axes
+                for mode in ("bbs", "bbf"):
+                    for prefix in ("last_", "proposal_"):
                         try:
-                            row[f"acc@{t}_top{k}_{mode}"] = round(
-                                ev.accuracy("last_", t, k, mode), 4
+                            row[f"acc_{prefix}{mode}"] = round(
+                                ev.accuracy(prefix, mode), 4
                             )
                         except Exception:
                             pass
+            else:
+                for t in (0.25, 0.5):
+                    for k in (1, 5):
+                        for mode in ("bbs", "bbf"):
+                            try:
+                                row[f"acc@{t}_top{k}_{mode}"] = round(
+                                    ev.accuracy("last_", t, k, mode), 4
+                                )
+                            except Exception:
+                                pass
             self.history.append(row)
             self.logger.info(f"STUDY {json.dumps(row)}")
             with open(osp.join(args.out, "history.jsonl"), "a") as f:
