@@ -76,6 +76,7 @@ class TinyTrainTester(TrainTester):
 def tiny_config(tmp_path, **kw):
     kw.setdefault("dataset", ["sr3d"])
     kw.setdefault("test_dataset", "sr3d")
+    kw.setdefault("dp", 8)
     return Config(
         # Every graph-shaping field below matches test_train_step.tiny_setup
         # (B=8 over dp=8, 256 points, 6-channel clouds, text 12, 16
@@ -98,7 +99,6 @@ def tiny_config(tmp_path, **kw):
         val_freq=1,
         print_freq=1,
         num_workers=0,
-        dp=8,
         log_dir=str(tmp_path / "log"),
         **kw,
     )
