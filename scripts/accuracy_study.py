@@ -46,6 +46,12 @@ def main():
     ap.add_argument("--eval_train_split", action="store_true",
                     help="evaluate on the TRAIN scenes (the r1b overfit "
                     "metric) instead of held-out val scenes")
+    ap.add_argument("--lr_decay_epochs", type=int, nargs="*", default=None,
+                    help="step-decay milestones (x0.1). The reference cls "
+                    "recipe decays at 30,35 of 40 epochs and most of its "
+                    "accuracy materializes after the decay "
+                    "(train_test_cls.sh); the Config default (280,340) is "
+                    "out of reach for short studies, i.e. constant LR")
     ap.add_argument("--butd_cls", action="store_true",
                     help="GT-proposal classification setup (reference "
                     "scripts/train_test_cls.sh: the model selects among "
@@ -112,6 +118,8 @@ def main():
         log_dir=osp.join(args.out, "log"),
         **(dict(freeze_text_encoder=False, text_encoder_lr=1e-4)
            if args.trainable_text else {}),
+        **(dict(lr_decay_epochs=list(args.lr_decay_epochs))
+           if args.lr_decay_epochs else {}),
         **(dict(num_encoder_layers=1, num_decoder_layers=1, num_target=16)
            if args.tiny else {}),
     )
