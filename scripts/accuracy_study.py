@@ -46,6 +46,13 @@ def main():
     ap.add_argument("--eval_train_split", action="store_true",
                     help="evaluate on the TRAIN scenes (the r1b overfit "
                     "metric) instead of held-out val scenes")
+    ap.add_argument("--joint_det", action="store_true",
+                    help="mix scannet detection prompts x10 into training "
+                    "and add anchors as targets (detect_intermediate) — "
+                    "BOTH reference recipes set these "
+                    "(train_test_{det,cls}.sh); det samples carry ~K "
+                    "positives each vs sr3d's 1-in-256, the counterweight "
+                    "to soft-token eos collapse")
     ap.add_argument("--lr_decay_epochs", type=int, nargs="*", default=None,
                     help="step-decay milestones (x0.1). The reference cls "
                     "recipe decays at 30,35 of 40 epochs and most of its "
@@ -120,6 +127,8 @@ def main():
            if args.trainable_text else {}),
         **(dict(lr_decay_epochs=list(args.lr_decay_epochs))
            if args.lr_decay_epochs else {}),
+        **(dict(joint_det=True, detect_intermediate=True)
+           if args.joint_det else {}),
         **(dict(num_encoder_layers=1, num_decoder_layers=1, num_target=16)
            if args.tiny else {}),
     )
@@ -144,10 +153,15 @@ def main():
             )
             # spans were generated with SimpleTokenizer — use the same
             tok = SimpleTokenizer(max_len=c.max_text_len)
+            ddict = {"sr3d": 1}
+            if c.joint_det:
+                ddict["scannet"] = 10
             common = dict(
-                dataset_dict={"sr3d": 1}, test_dataset="sr3d",
+                dataset_dict=ddict, test_dataset="sr3d",
                 data_path=root, scans=scans, tokenizer=tok,
                 use_color=c.use_color, butd=c.butd,
+                butd_cls=c.butd_cls, butd_gt=c.butd_gt,
+                detect_intermediate=c.detect_intermediate,
                 max_text_len=c.max_text_len, max_num_obj=c.max_num_obj,
                 max_det_boxes=c.max_det_boxes,
             )
