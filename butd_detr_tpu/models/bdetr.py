@@ -225,10 +225,11 @@ class BeaUTyDETR(nn.Module):
             if self.contrastive_align_loss
             else None
         )
-        if proj_queries_mlp is not None:
-            end_points["proposal_proj_queries"] = l2_normalize(
-                proj_queries_mlp(query)
-            )
+        # proj_queries for ALL prefixes are computed in ONE batched MLP
+        # application after the decoder loop (the projection is a single
+        # shared-parameter module, bdetr.py:143-151, and rows are
+        # independent) — 7 serial small-matmul chains -> 1. Collected here.
+        proj_inputs = [query] if proj_queries_mlp is not None else None
 
         # ---------------- proposal head (bdetr.py:266-272)
         proposal = ClsAgnosticPredictHead(
@@ -259,10 +260,8 @@ class BeaUTyDETR(nn.Module):
             )(query, points_features, text_feats, query_pos, None,
               text_padding_mask, detected_feats, detected_mask, train=train)
 
-            if proj_queries_mlp is not None:
-                end_points[f"{prefix}proj_queries"] = l2_normalize(
-                    proj_queries_mlp(query)
-                )
+            if proj_inputs is not None:
+                proj_inputs.append(query)
 
             pred = ClsAgnosticPredictHead(
                 self.num_class, d, dtype=self.dtype,
@@ -272,6 +271,23 @@ class BeaUTyDETR(nn.Module):
                 end_points[prefix + k] = v
             base_xyz = jax.lax.stop_gradient(pred["center"])
             base_size = jax.lax.stop_gradient(pred["pred_size"])
+
+        if proj_inputs is not None:
+            # (B, (1+num_layers)*V, d): one matmul family instead of 7.
+            # Row-independent (Dense+relu only, no BN/dropout), so outputs
+            # are identical to per-prefix application.
+            stacked = jnp.concatenate(proj_inputs, axis=1)
+            proj = l2_normalize(proj_queries_mlp(stacked))
+            V = self.num_queries
+            names = ["proposal_"] + [
+                ("last_" if i == self.num_decoder_layers - 1
+                 else f"{i}head_")
+                for i in range(self.num_decoder_layers)
+            ]
+            for j, prefix in enumerate(names):
+                end_points[f"{prefix}proj_queries"] = proj[
+                    :, j * V:(j + 1) * V
+                ]
 
         return end_points
 
