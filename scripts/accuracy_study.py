@@ -32,6 +32,14 @@ def main():
     ap.add_argument("--n_val", type=int, default=24)
     ap.add_argument("--objects", type=int, default=5)
     ap.add_argument("--scan_points", type=int, default=20000)
+    ap.add_argument("--num_points", type=int, default=None,
+                    help="model input cloud size (default 50000, the "
+                    "production shape). The synthetic scans only carry "
+                    "--scan_points points, so 50000 UPSAMPLES by "
+                    "replication — faithful shapes but ~60%% duplicated "
+                    "compute; pass --num_points equal to --scan_points "
+                    "for convergence studies where wall-clock matters "
+                    "(binding/ranking behavior is unaffected)")
     ap.add_argument("--epochs", type=int, default=120)
     ap.add_argument("--val_freq", type=int, default=10)
     ap.add_argument("--batch", type=int, default=24)
@@ -107,7 +115,7 @@ def main():
         print(f"generated {args.n_train}+{args.n_val} scenes "
               f"in {time.time()-t0:.0f}s", flush=True)
 
-    num_points = 1024 if args.tiny else 50000
+    num_points = 1024 if args.tiny else (args.num_points or 50000)
     cfg = Config(
         dataset=["sr3d"], test_dataset="sr3d", data_root=root,
         use_color=True, butd=not args.butd_cls, butd_cls=args.butd_cls,

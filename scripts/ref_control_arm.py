@@ -1,0 +1,310 @@
+"""Reference-torch control arm for the butd_cls accuracy study (VERDICT
+r3 weak #4 / next #1 fallback).
+
+Runs the REFERENCE'S OWN training system — its BeaUTyDETR
+(/root/reference/models/bdetr.py), its HungarianMatcher/SetCriterion/
+compute_hungarian_loss (models/losses.py), its 3-group AdamW recipe
+(main_utils.py:255-284) — on the IDENTICAL synthetic dataset the JAX
+study trains on (scripts/accuracy_study.py --butd_cls --joint_det), with
+the CUDA extension stubbed to CPU (tests/golden/ref_torch_stub.py) and
+the same random-init-RoBERTa handicap (trainable, lr 1e-4, like the
+study's --trainable_text).
+
+Purpose: attribution. If the reference's matched-query soft-token argmax
+stays pinned on the no-object bin (255) for as long as ours does on the
+same data, the eos plateau is a property of the TASK at this scale, not
+a defect in the TPU rebuild. If the reference cracks it quickly, we have
+a bug signal.
+
+Probe metrics every --probe_freq steps (mirrors scripts/diag_grounding.py
+so curves are directly comparable): matched-CE vs eos-CE, matched argmax
+bin distribution, p_span mass, and cls exact-match hit rate on a fixed
+unaugmented train-scene batch.
+
+Runs on host CPU — safe to run concurrently with a chip-resident study.
+
+Usage:
+  python scripts/ref_control_arm.py --data /root/repo/.study_cls/data \
+      --steps 600 --batch 24 --out /root/repo/.study_cls/ref_control
+"""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")  # stub bridges FPS/BQ to JAX
+
+
+def build_dataset(root, tok, split, butd_cls=True, joint_det=True,
+                  num_points=50000, eval_train=False):
+    from butd_detr_tpu.data import JointGroundingDataset
+    from butd_detr_tpu.data.scan import load_scans_parallel
+
+    with open(osp.join(root, "meta_data", "scannetv2_train.txt")) as f:
+        train_ids = [l.strip() for l in f if l.strip()]
+    scans = load_scans_parallel(
+        train_ids, osp.join(root, "scans"), osp.join(root, "meta_data"),
+        num_workers=1, keep_points=num_points,
+    )
+    ddict = {"sr3d": 1}
+    if joint_det and split == "train":
+        ddict["scannet"] = 10
+    data_path = root
+    if eval_train:
+        from scripts.train_split_eval import make_trainval_root
+
+        data_path = make_trainval_root(root)
+    return JointGroundingDataset(
+        split=split, dataset_dict=ddict, test_dataset="sr3d",
+        data_path=data_path, scans=scans, tokenizer=tok,
+        use_color=True, butd=not butd_cls, butd_cls=butd_cls,
+        butd_gt=False, detect_intermediate=joint_det and split == "train",
+        max_text_len=32, max_num_obj=16, max_det_boxes=16,
+    )
+
+
+class SimpleTokWrapper:
+    """Expose SimpleTokenizer through the HF batch_encode_plus surface the
+    reference model tokenizes with in-forward (bdetr.py:164-167), so token
+    POSITIONS match the positive maps our dataset built with the same
+    tokenizer."""
+
+    def __init__(self, tok):
+        self.tok = tok
+
+    def batch_encode_plus(self, texts, **kw):
+        import torch
+
+        from tests.golden.ref_torch_stub import FakeBatchEncoding
+
+        out = self.tok(texts)
+        # trim to the longest real sequence (reference pads 'longest')
+        L = int(out.attention_mask.sum(1).max())
+        return FakeBatchEncoding(
+            torch.from_numpy(out.ids[:, :L]).long(),
+            torch.from_numpy(out.attention_mask[:, :L]).long(),
+        )
+
+
+def probe(model, batch_np, step, out_path):
+    """diag_grounding-style probe on a fixed batch; appends one JSON row."""
+    import numpy as np
+    import torch
+
+    model.eval()
+    tb = {k: torch.as_tensor(v) for k, v in batch_np.items()
+          if hasattr(v, "dtype")}
+    inputs = {
+        "point_clouds": tb["point_clouds"].float(),
+        "text": list(batch_np["utterances"]),
+        "det_boxes": tb["all_detected_boxes"].float(),
+        "det_bbox_label_mask": tb["all_detected_bbox_label_mask"].bool(),
+        "det_class_ids": tb["all_detected_class_ids"].long(),
+    }
+    with torch.no_grad():
+        ep = model(inputs)
+    B = tb["point_clouds"].shape[0]
+    pmap = np.asarray(batch_np["positive_map"], np.float32)
+    gt = np.concatenate(
+        [batch_np["center_label"][..., :3], batch_np["size_gts"]], -1
+    )
+    all_boxes = np.asarray(batch_np["all_bboxes"], np.float32)
+    all_mask = np.asarray(batch_np["all_bbox_label_mask"], bool)
+
+    from scipy.optimize import linear_sum_assignment
+
+    row = {"step": step}
+    for prefix in ("proposal_", "last_"):
+        logits = ep[f"{prefix}sem_cls_scores"].float().numpy()
+        pred = np.concatenate(
+            [ep[f"{prefix}center"].float().numpy(),
+             ep[f"{prefix}pred_size"].float().numpy()], -1,
+        )
+        probs = np.exp(logits - logits.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        logp = np.log(np.maximum(probs, 1e-12))
+
+        ce_m, p_span, arg255, hits = [], [], 0, 0
+        from butd_detr_tpu.losses.boxes import (
+            box_cxcyczwhd_to_xyzxyz,
+            pairwise_iou3d,
+        )
+        import jax.numpy as jnp
+
+        for b in range(B):
+            # reference matcher cost (losses.py:279-331) on the root target
+            valid = np.asarray(batch_np["box_label_mask"][b], bool)
+            tgt = gt[b][valid]
+            tpm = pmap[b][valid]
+            cost_class = -(probs[b] @ tpm.T)
+            cost_bbox = np.abs(pred[b][:, None] - tgt[None]).sum(-1)
+            from butd_detr_tpu.losses.boxes import generalized_box_iou3d
+
+            giou = np.asarray(generalized_box_iou3d(
+                jnp.asarray(box_cxcyczwhd_to_xyzxyz(jnp.asarray(pred[b]))),
+                jnp.asarray(box_cxcyczwhd_to_xyzxyz(jnp.asarray(tgt))),
+            ))
+            # weights from main_utils.py:243: HungarianMatcher(1, 0, 2)
+            # = (cost_class, cost_bbox, cost_giou) — L1 weight is ZERO
+            C = 1 * cost_class + 0 * cost_bbox + 2 * -giou
+            qi, ti = linear_sum_assignment(C)
+            q = int(qi[list(ti).index(0)])
+            span = np.nonzero(pmap[b, 0])[0]
+            ce_m.append(-np.log(max(float(probs[b, q, span].sum()), 1e-9)))
+            p_span.append(float(probs[b, q, span].sum()))
+            arg255 += int(probs[b, q].argmax() == probs.shape[-1] - 1)
+
+            # cls exact-match: top query by evaluator-gated bbs score
+            iou_all = np.asarray(pairwise_iou3d(
+                jnp.asarray(box_cxcyczwhd_to_xyzxyz(
+                    jnp.asarray(all_boxes[b]))),
+                jnp.asarray(box_cxcyczwhd_to_xyzxyz(jnp.asarray(pred[b]))),
+            )[0])
+            iou_all = np.where(all_mask[b][:, None], iou_all, 0.0)
+            correct = iou_all.max(0) > 0.25
+            sc = (probs[b] @ pmap[b, 0]) * correct
+            top = int(sc.argmax())
+            snap = int(np.where(all_mask[b], iou_all[:, top], -1).argmax())
+            hits += int((all_boxes[b, snap] == gt[b, 0]).all())
+
+        row[f"{prefix}matched_ce"] = round(float(np.mean(ce_m)), 3)
+        row[f"{prefix}eos_ce"] = round(float(-logp[..., -1].mean()), 4)
+        row[f"{prefix}p_span"] = round(float(np.mean(p_span)), 4)
+        row[f"{prefix}argmax255"] = arg255 / B
+        row[f"{prefix}acc"] = round(hits / B, 3)
+    model.train()
+    with open(out_path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print("PROBE", json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/repo/.study_cls/data")
+    ap.add_argument("--out", default="/root/repo/.study_cls/ref_control")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--num_points", type=int, default=50000)
+    ap.add_argument("--probe_freq", type=int, default=50)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr_backbone", type=float, default=1e-3)
+    ap.add_argument("--lr_text", type=float, default=1e-4,
+                    help="the study's --trainable_text rate (the reference "
+                    "freezes a PRETRAINED trunk; random-frozen would be a "
+                    "handicap the reference never had)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    import numpy as np
+    import torch
+
+    torch.manual_seed(args.seed)
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    from butd_detr_tpu.lang.tokenizer import SimpleTokenizer
+    from tests.golden.ref_torch_stub import load_reference_model
+
+    # full roberta-base shape, random init — matches the study's text tower
+    model, _tok, ns = load_reference_model(
+        roberta_config=dict(
+            vocab_size=1024, hidden_size=768, num_hidden_layers=12,
+            num_attention_heads=12, intermediate_size=3072,
+            max_position_embeddings=514,
+        ),
+        workdir=args.out, seed=args.seed,
+        num_class=256, num_obj_class=485, input_feature_dim=3,
+        num_queries=256, num_decoder_layers=6,
+        self_position_embedding="loc_learned",
+        contrastive_align_loss=True, butd=True, self_attend=True,
+    )
+    tok = SimpleTokenizer(max_len=32)
+    model.tokenizer = SimpleTokWrapper(tok)
+    for p in model.text_encoder.parameters():  # study: trainable text
+        p.requires_grad_(True)
+
+    import importlib
+
+    ref_losses = importlib.import_module("refmodels.losses")
+    matcher = ref_losses.HungarianMatcher(1, 0, 2, True)
+    set_criterion = ref_losses.SetCriterion(
+        matcher=matcher, losses=["boxes", "labels", "contrastive_align"],
+        eos_coef=0.1, temperature=0.07,
+    )
+    criterion = ref_losses.compute_hungarian_loss
+
+    # 3-group AdamW, cls-recipe rates (main_utils.py:255-284,
+    # scripts/train_test_cls.sh)
+    backbone, text, rest = [], [], []
+    for n, p in model.named_parameters():
+        if not p.requires_grad:
+            continue
+        (backbone if "backbone_net" in n else
+         text if "text_encoder" in n else rest).append(p)
+    opt = torch.optim.AdamW(
+        [{"params": rest, "lr": args.lr},
+         {"params": backbone, "lr": args.lr_backbone},
+         {"params": text, "lr": args.lr_text}],
+        lr=args.lr, weight_decay=5e-4,
+    )
+
+    train_ds = build_dataset(args.data, tok, "train",
+                             num_points=args.num_points)
+    probe_ds = build_dataset(args.data, tok, "val", joint_det=False,
+                             num_points=args.num_points, eval_train=True)
+    from butd_detr_tpu.data.loader import collate
+
+    probe_batch = collate([probe_ds[i] for i in range(8)])
+    probe_path = osp.join(args.out, "probe.jsonl")
+
+    n = len(train_ds)
+    rng = np.random.RandomState(args.seed)
+    order = rng.permutation(n)
+    pos = 0
+    model.train()
+    t0 = time.time()
+    for step in range(args.steps):
+        if pos + args.batch > n:
+            order, pos = rng.permutation(n), 0
+        idx = order[pos:pos + args.batch]
+        pos += args.batch
+        batch_np = collate([train_ds[int(i)] for i in idx])
+        tb = {k: torch.as_tensor(v) for k, v in batch_np.items()
+              if hasattr(v, "dtype")}
+        inputs = {
+            "point_clouds": tb["point_clouds"].float(),
+            "text": list(batch_np["utterances"]),
+            "det_boxes": tb["all_detected_boxes"].float(),
+            "det_bbox_label_mask": tb["all_detected_bbox_label_mask"].bool(),
+            "det_class_ids": tb["all_detected_class_ids"].long(),
+        }
+        end_points = model(inputs)
+        for k, v in tb.items():
+            if k not in end_points:
+                end_points[k] = v
+        loss, end_points = criterion(
+            end_points, 6, set_criterion, query_points_obj_topk=4
+        )
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(
+            [p for g in opt.param_groups for p in g["params"]], 0.1
+        )
+        opt.step()
+        if step % 10 == 0:
+            print(f"step {step} loss {float(loss):.2f} "
+                  f"ce {float(end_points['loss_ce']):.3f} "
+                  f"giou {float(end_points['loss_giou']):.3f} "
+                  f"({(time.time()-t0)/max(step,1):.1f}s/step)", flush=True)
+        if step % args.probe_freq == 0 or step == args.steps - 1:
+            probe(model, probe_batch, step, probe_path)
+            torch.save({"model": model.state_dict(), "step": step},
+                       osp.join(args.out, "ckpt_last.pth"))
+
+
+if __name__ == "__main__":
+    main()
