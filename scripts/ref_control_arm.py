@@ -205,6 +205,14 @@ def main():
 
     torch.manual_seed(args.seed)
     torch.set_num_threads(os.cpu_count() or 1)
+    # reference losses.py:532-534 calls dist.get_world_size()
+    # unconditionally — give it a 1-process gloo group
+    import torch.distributed as dist
+
+    if not dist.is_initialized():
+        os.environ.setdefault("MASTER_ADDR", "127.0.0.1")
+        os.environ.setdefault("MASTER_PORT", "29512")
+        dist.init_process_group("gloo", rank=0, world_size=1)
 
     from butd_detr_tpu.lang.tokenizer import SimpleTokenizer
     from tests.golden.ref_torch_stub import load_reference_model
