@@ -63,6 +63,11 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib.points_in_boxes.argtypes = [
         c_float_p, ctypes.c_long, c_float_p, ctypes.c_long, c_i32_p
     ]
+    lib.augment_fused.restype = None
+    lib.augment_fused.argtypes = [
+        c_float_p, ctypes.c_long, ctypes.c_long, c_float_p, c_float_p,
+        c_float_p, ctypes.c_float, c_float_p, c_float_p, c_float_p,
+    ]
     return lib
 
 
@@ -149,3 +154,30 @@ def points_in_boxes_native(points, boxes):
         _ptr(counts, ctypes.c_int32),
     )
     return counts
+
+
+def augment_fused_native(pc, M, noise, shift, scale, color, cscale, mean):
+    """Fused in-place augmentation pass (see csrc augment_fused). `pc`
+    must be a C-contiguous f32 (N, >=3) array — mutated in place; `color`
+    (f32 (N, 3), mutated) may be None. Returns True, or None when the
+    native lib is unavailable (caller falls back to numpy)."""
+    lib = load_native()
+    if lib is None:
+        return None
+    n, stride = pc.shape[0], pc.shape[1]
+    M = np.ascontiguousarray(M, np.float32)
+    noise = np.ascontiguousarray(noise, np.float32)
+    shift = np.ascontiguousarray(shift, np.float32).reshape(3)
+    cptr = csptr = mptr = None
+    if color is not None:
+        cscale = np.ascontiguousarray(cscale, np.float32)
+        mean = np.ascontiguousarray(mean, np.float32).reshape(3)
+        cptr = _ptr(color, ctypes.c_float)
+        csptr = _ptr(cscale, ctypes.c_float)
+        mptr = _ptr(mean, ctypes.c_float)
+    lib.augment_fused(
+        _ptr(pc, ctypes.c_float), n, stride, _ptr(M, ctypes.c_float),
+        _ptr(noise, ctypes.c_float), _ptr(shift, ctypes.c_float),
+        float(scale), cptr, csptr, mptr,
+    )
+    return True

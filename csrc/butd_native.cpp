@@ -227,6 +227,42 @@ long voc_match(const float* det_boxes, const int32_t* det_img, long nd,
 // Point-in-AABB counting (remove_empty_box)
 // ---------------------------------------------------------------------
 
+// ---------------------------------------------------------------------
+// Fused point-cloud augmentation (data-loader hot path)
+// ---------------------------------------------------------------------
+
+// One pass over n points applying the reference's _augment chain
+// (joint_det_dataset.py:358-403) with flips+rotations pre-folded into a
+// single 3x3 matrix M (row-major; built f64 on the python side):
+//   xyz' = (M @ xyz + noise[i] + shift) * scale
+// and, when color != null,
+//   color' = (color + mean) * cscale[i] - mean.
+// pc rows are `stride` floats apart (xyz in the first 3). The numpy
+// fallback applies the same ops as separate passes; results agree to f32
+// rounding (the matmul association differs), which is already within the
+// documented f32-vs-reference-f64 augmentation tolerance.
+void augment_fused(float* pc, long n, long stride, const float* M,
+                   const float* noise, const float* shift, float scale,
+                   float* color, const float* cscale, const float* mean) {
+  for (long i = 0; i < n; ++i) {
+    float* p = pc + i * stride;
+    const float x = p[0], y = p[1], z = p[2];
+    const float* nz = noise + i * 3;
+    for (int r = 0; r < 3; ++r) {
+      p[r] = (M[r * 3] * x + M[r * 3 + 1] * y + M[r * 3 + 2] * z + nz[r] +
+              shift[r]) * scale;
+    }
+  }
+  if (color) {
+    for (long i = 0; i < n; ++i) {
+      float* c = color + i * 3;
+      const float* cs = cscale + i * 3;
+      for (int r = 0; r < 3; ++r)
+        c[r] = (c[r] + mean[r]) * cs[r] - mean[r];
+    }
+  }
+}
+
 // points: (n, 3); boxes: (k, 6) AABB. counts: out (k).
 void points_in_boxes(const float* points, long n, const float* boxes,
                      long k, int32_t* counts) {

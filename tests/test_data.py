@@ -156,6 +156,32 @@ def test_augment_deterministic_given_seed():
     np.testing.assert_array_equal(a1[0], a2[0])
 
 
+def test_native_augment_matches_numpy(monkeypatch):
+    """The fused C++ pass and the sequential numpy path consume the SAME
+    RNG stream and agree to f32 rounding (matmul association differs)."""
+    from butd_detr_tpu.native import load_native
+
+    if load_native() is None:
+        pytest.skip("native lib unavailable")
+    rng0 = np.random.RandomState(0)
+    pc = rng0.randn(500, 3).astype(np.float32)
+    color = rng0.rand(500, 3).astype(np.float32)
+    for rotate in (False, True):
+        for seed in (7, 8, 9):  # covers both flip branches
+            monkeypatch.setenv("BUTD_NATIVE_AUGMENT", "1")
+            p1, c1, a1 = augment_pointcloud(
+                pc, color, rotate, np.random.RandomState(seed))
+            monkeypatch.setenv("BUTD_NATIVE_AUGMENT", "0")
+            p2, c2, a2 = augment_pointcloud(
+                pc, color, rotate, np.random.RandomState(seed))
+            assert a1.keys() == a2.keys()
+            np.testing.assert_allclose(a1["shift"], a2["shift"])
+            np.testing.assert_allclose(p1, p2, rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(c1, c2, rtol=2e-5, atol=2e-5)
+            # input untouched (both paths copy)
+            assert pc.dtype == np.float32 and len(pc) == 500
+
+
 # ---------------- positive maps ----------------
 
 
