@@ -200,15 +200,18 @@ def main():
     qpos = jax.random.normal(key, (B, Q, 6), model.dtype)
     dparams = {i: state.params[f"decoder_{i}"]
                for i in range(cfg.num_decoder_layers)}
+    dstats = {i: state.batch_stats[f"decoder_{i}"]
+              for i in range(cfg.num_decoder_layers)}
     dec = BiDecoderLayer(288, n_heads=8, dim_feedforward=256, dropout=0.1,
                          self_position_embedding="loc_learned", butd=True,
                          dtype=model.dtype)
 
     def dec_fwd(ps, q, v, t):
         for i in range(cfg.num_decoder_layers):
-            q = dec.apply({"params": ps[i]}, q, v, t, qpos, None,
-                          tmask_pad, det, dmask, train=True,
-                          rngs={"dropout": rng})
+            q, _ = dec.apply(
+                {"params": ps[i], "batch_stats": dstats[i]}, q, v, t,
+                qpos, None, tmask_pad, det, dmask, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
         return q.astype(jnp.float32).sum()
 
     results["decoder_fwd"] = timeit(jax.jit(dec_fwd), dparams, qry, vis, txt)
