@@ -27,6 +27,15 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # the image's sitecustomize preloads jax with the axon TPU platform,
+    # so the env var alone is too late — flip through jax.config BEFORE
+    # first backend use, or a "CPU" smoke silently becomes a second TPU
+    # client and can wedge a chip-resident run's tunnel
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def timeit(fn, *args, reps=None, warm=2):
     import jax

@@ -35,7 +35,12 @@ import sys
 import time
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")  # stub bridges FPS/BQ to JAX
+# the stub bridges FPS/BQ to JAX; force CPU through jax.config (the image
+# preloads jax with the axon TPU platform, env vars alone are too late —
+# a "CPU" control run must never become a second TPU client)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def build_dataset(root, tok, split, butd_cls=True, joint_det=True,
