@@ -25,19 +25,50 @@ _SO = os.path.join(_CSRC, "libbutd_native.so")
 @functools.lru_cache()
 def load_native() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None on failure."""
-    if not os.path.exists(_SO):
+    lib = _load_or_build(rebuild=False)
+    if lib is None:
+        return None
+    try:
+        _bind(lib)
+    except AttributeError:
+        # stale .so predating a newly added entry point — rebuild once
+        lib = _load_or_build(rebuild=True)
+        if lib is None:
+            return None
+        try:
+            _bind(lib)
+        except AttributeError:
+            return None
+    return lib
+
+
+def _load_or_build(rebuild: bool) -> Optional[ctypes.CDLL]:
+    path = _SO
+    if rebuild or not os.path.exists(_SO):
         try:
             subprocess.run(
-                ["make", "-s"], cwd=_CSRC, check=True,
-                capture_output=True, timeout=120,
+                ["make", "-s"] + (["-B"] if rebuild else []),
+                cwd=_CSRC, check=True, capture_output=True, timeout=120,
             )
         except Exception:
             return None
+        if rebuild:
+            # dlopen caches by pathname — the stale mapping would be
+            # returned for _SO; load the rebuilt object via a fresh name
+            import shutil
+
+            path = _SO + ".fresh"
+            try:
+                shutil.copy2(_SO, path)
+            except OSError:
+                return None
     try:
-        lib = ctypes.CDLL(_SO)
+        return ctypes.CDLL(path)
     except OSError:
         return None
 
+
+def _bind(lib: ctypes.CDLL) -> None:
     c_float_p = ctypes.POINTER(ctypes.c_float)
     c_u8_p = ctypes.POINTER(ctypes.c_uint8)
     c_i32_p = ctypes.POINTER(ctypes.c_int32)
@@ -68,7 +99,6 @@ def load_native() -> Optional[ctypes.CDLL]:
         c_float_p, ctypes.c_long, ctypes.c_long, c_float_p, c_float_p,
         c_float_p, ctypes.c_float, c_float_p, c_float_p, c_float_p,
     ]
-    return lib
 
 
 def _ptr(arr, ctype):

@@ -51,6 +51,17 @@ def main():
                     "alignment learning; the reference freezes a "
                     "PRETRAINED trunk — bdetr.py:76-77 — so trainable is "
                     "the closest spirit)")
+    ap.add_argument("--small_text", action="store_true",
+                    help="use a small (4-layer, 128-d) text encoder instead "
+                    "of the 12-layer roberta-base architecture. The r4 "
+                    "epoch-45 diagnosis (NOTES.md) showed the ranking "
+                    "failure is text-to-class binding speed: a RANDOM-init "
+                    "12-layer trunk cannot become class-discriminative in "
+                    "~3k steps at lr 1e-4, while the reference starts from "
+                    "a PRETRAINED trunk that is discriminative at step 0. "
+                    "A small trainable encoder is the offline proxy for "
+                    "'informative text features', which is what the study "
+                    "needs to prove the grounding/ranking machinery trains")
     ap.add_argument("--eval_train_split", action="store_true",
                     help="evaluate on the TRAIN scenes (the r1b overfit "
                     "metric) instead of held-out val scenes")
@@ -191,11 +202,19 @@ def main():
                     self.cfg, roberta_config=tiny_roberta_config(),
                     backbone_npoints=(256, 128, 64, 32),
                 )
-            return super().get_model()
+            return super().get_model()  # uses self._roberta_config()
 
         def _roberta_config(self):
             if args.tiny:
                 return tiny_roberta_config()
+            if args.small_text:
+                # small-but-capable trunk: SimpleTokenizer's hashed 1024
+                # vocab, 4 layers x 128-d — trainable from scratch within
+                # a few-thousand-step study
+                return tiny_roberta_config(
+                    hidden_size=128, num_hidden_layers=4,
+                    num_attention_heads=4, intermediate_size=256,
+                )
             return super()._roberta_config()
 
         history = []
