@@ -40,9 +40,12 @@ V5E_PEAK_FLOPS = 197e12
 def _step_flops(jitted, *args):
     """XLA's own FLOP count for a compiled step (cost_analysis), or None
     when the backend doesn't report it. Cheap: the executable is already
-    compiled/cached for this signature."""
+    compiled/cached for this signature. Accepts either a jitted function
+    or an already-compiled executable."""
     try:
-        analysis = jitted.lower(*args).compile().cost_analysis()
+        if hasattr(jitted, "lower"):
+            jitted = jitted.lower(*args).compile()
+        analysis = jitted.cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
         return float(analysis["flops"])
@@ -155,11 +158,28 @@ def main():
     # compile two separate executables (parallel/mesh.commit_replicated)
     state = commit_replicated(mesh, state)
 
+    # Scoped-VMEM headroom for large batches: at B>24 the full train step
+    # OOMs the default 16 MB scoped-vmem budget at the FPS kernel's stack
+    # frame (the kernel ALONE compiles fine at B=48 — the overflow is
+    # other step buffers XLA co-schedules in VMEM around it). Raised
+    # per-compile via proto-backed compiler options (same mechanism as
+    # the r3 ball-query gt sweep, PERF.md); B<=24 keeps the default so
+    # historical numbers stay apples-to-apples.
+    copts = {}
+    scoped_kib = int(os.environ.get(
+        "BENCH_SCOPED_VMEM_KIB", "65536" if B > 24 else "0"))
+    if scoped_kib:
+        copts["xla_tpu_scoped_vmem_limit_kib"] = scoped_kib
+
+    def _compile(jitted, *args):
+        return jitted.lower(*args).compile(compiler_options=copts or None)
+
     dt_dispatch = None
     if mode == "train":
         step = shard_train_step(make_train_step(model, cfg, optimizer), mesh)
         sbatch = shard_batch(mesh, batch)
         t0 = time.time()
+        step = _compile(step, state, sbatch, rng)
         state, metrics = step(state, sbatch, rng)
         jax.block_until_ready(metrics)
         print(f"# train-step compile {time.time()-t0:.0f}s", flush=True)
@@ -217,7 +237,8 @@ def main():
                 donate_argnums=(0,),
             )
             stacked = jax.device_put(stacked, stacked_shd)
-            state, losses = jscan(state, stacked)  # compile + warm
+            jscan = _compile(jscan, state, stacked)
+            state, losses = jscan(state, stacked)  # warm
             _ = np.asarray(losses)
             # FLOPs from the SINGLE-step executable (already compiled
             # above), never the scan graph: some XLA versions multiply
