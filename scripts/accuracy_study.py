@@ -78,6 +78,11 @@ def main():
                     "accuracy materializes after the decay "
                     "(train_test_cls.sh); the Config default (280,340) is "
                     "out of reach for short studies, i.e. constant LR")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to restore (state + start epoch) — "
+                    "continue a study with a different epoch budget / "
+                    "milestones (the LR schedule is a pure function of "
+                    "step and milestones, reference main_utils.py:122-141)")
     ap.add_argument("--butd_cls", action="store_true",
                     help="GT-proposal classification setup (reference "
                     "scripts/train_test_cls.sh: the model selects among "
@@ -150,6 +155,7 @@ def main():
            if args.joint_det else {}),
         **(dict(num_encoder_layers=1, num_decoder_layers=1, num_target=16)
            if args.tiny else {}),
+        **(dict(checkpoint_path=args.resume) if args.resume else {}),
     )
 
     class StudyTrainTester(TrainTester):

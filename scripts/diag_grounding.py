@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--cpu", action="store_true", default=True,
                     help="run on CPU so a chip-resident study is undisturbed")
+    ap.add_argument("--small_text", action="store_true",
+                    help="study was run with accuracy_study --small_text")
     args = ap.parse_args()
 
     import jax
@@ -99,6 +101,11 @@ def main():
     if tiny:
         model = build_model(cfg, roberta_config=tiny_roberta_config(),
                             backbone_npoints=(256, 128, 64, 32))
+    elif args.small_text:
+        # the r4b --small_text study arm (scripts/accuracy_study.py)
+        model = build_model(cfg, roberta_config=tiny_roberta_config(
+            hidden_size=128, num_hidden_layers=4,
+            num_attention_heads=4, intermediate_size=256))
     else:
         model = build_model(cfg, roberta_config=roberta_base_config())
     optimizer = make_optimizer(cfg, steps_per_epoch=100)
