@@ -93,6 +93,22 @@ def main():
     )
     from butd_detr_tpu.train.step import INPUT_KEYS, build_model
 
+    # warm-vs-cold visibility (VERDICT r2/r3/r4 ask): say up front whether
+    # the persistent compile cache has entries, so a slow "# train-step
+    # compile" line is attributable to cache state vs tunnel weather
+    import tempfile
+
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(tempfile.gettempdir(), "butd_detr_tpu_jax_cache"),
+    )
+    try:
+        _n_cached = len(os.listdir(_cache_dir))
+    except OSError:
+        _n_cached = 0
+    print(f"# compile-cache {_cache_dir}: {_n_cached} entries "
+          f"({'warm' if _n_cached else 'cold'} start)", flush=True)
+
     mode = os.environ.get("BENCH_MODE", "train")
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     B = int(os.environ.get("BENCH_BATCH", "8" if tiny else "24"))
@@ -170,6 +186,13 @@ def main():
         "BENCH_SCOPED_VMEM_KIB", "65536" if B > 24 else "0"))
     if scoped_kib:
         copts["xla_tpu_scoped_vmem_limit_kib"] = scoped_kib
+    # record which compiler options produced the numbers (a user pinning
+    # BENCH_SCOPED_VMEM_KIB=0 at B=48 gets a compile-time OOM — make the
+    # default flip at B>24 visible in every benchmark log)
+    print(f"# scoped-vmem "
+          f"{scoped_kib or 'default (16384 kib)'}"
+          f"{' (BENCH_SCOPED_VMEM_KIB to override)' if B > 24 else ''}",
+          flush=True)
 
     def _compile(jitted, *args):
         return jitted.lower(*args).compile(compiler_options=copts or None)

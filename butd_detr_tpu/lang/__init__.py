@@ -5,6 +5,7 @@ from butd_detr_tpu.lang.roberta import (
     RobertaModel,
     convert_hf_roberta_state_dict,
     roberta_base_config,
+    small_text_roberta_config,
     tiny_roberta_config,
 )
 from butd_detr_tpu.lang.span_predictor import (
@@ -39,6 +40,7 @@ __all__ = [
     "convert_hf_roberta_state_dict",
     "get_tokenizer",
     "roberta_base_config",
+    "small_text_roberta_config",
     "scores_to_pred_spans",
     "span_bce_loss",
     "tiny_roberta_config",

@@ -52,6 +52,20 @@ def tiny_roberta_config(**kw) -> RobertaConfig:
     return RobertaConfig(**defaults)
 
 
+def small_text_roberta_config() -> RobertaConfig:
+    """The accuracy-study '--small_text' trunk: 4 layers x 128-d x 4 heads
+    over SimpleTokenizer's hashed 1024 vocab — small enough to become
+    class-discriminative from scratch within a few-thousand-step study
+    (the offline proxy for the reference's pretrained roberta-base,
+    /root/reference/models/bdetr.py:73-77). Shared by accuracy_study /
+    diag_grounding / the attribution probes so the architecture literal
+    cannot drift between the trainer and checkpoint consumers."""
+    return tiny_roberta_config(
+        hidden_size=128, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=256,
+    )
+
+
 def create_position_ids(input_ids: jnp.ndarray, pad_token_id: int):
     """RoBERTa position ids: pad positions get pad_id, others count from it."""
     mask = (input_ids != pad_token_id).astype(jnp.int32)

@@ -43,27 +43,41 @@ def load_native() -> Optional[ctypes.CDLL]:
 
 
 def _load_or_build(rebuild: bool) -> Optional[ctypes.CDLL]:
-    path = _SO
-    if rebuild or not os.path.exists(_SO):
-        try:
-            subprocess.run(
-                ["make", "-s"] + (["-B"] if rebuild else []),
-                cwd=_CSRC, check=True, capture_output=True, timeout=120,
-            )
-        except Exception:
-            return None
-        if rebuild:
-            # dlopen caches by pathname — the stale mapping would be
-            # returned for _SO; load the rebuilt object via a fresh name
-            import shutil
-
-            path = _SO + ".fresh"
-            try:
-                shutil.copy2(_SO, path)
-            except OSError:
-                return None
+    # run make unconditionally (incremental no-op when the .so is fresh):
+    # a committed-but-stale object whose EXISTING entry points changed
+    # signature would otherwise bind successfully and silently compute
+    # with the old ABI — mtime tells us whether to take the reload path
+    before = os.path.getmtime(_SO) if os.path.exists(_SO) else None
     try:
-        return ctypes.CDLL(path)
+        subprocess.run(
+            ["make", "-s"] + (["-B"] if rebuild else []),
+            cwd=_CSRC, check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        if before is None:
+            return None  # nothing on disk and cannot build
+    after = os.path.getmtime(_SO) if os.path.exists(_SO) else None
+    if after is None:
+        return None
+    if rebuild or before is None or after != before:
+        # freshly (re)built object: dlopen caches by pathname, so load it
+        # via a UNIQUE temp copy — which also makes concurrent rebuilds
+        # (e.g. dataloader workers racing) safe: no other process ever
+        # sees a partially written file under a name it would open
+        import shutil
+        import tempfile
+
+        try:
+            fd, tmp = tempfile.mkstemp(suffix=".so", dir=_CSRC)
+            os.close(fd)
+            shutil.copy2(_SO, tmp)
+            lib = ctypes.CDLL(tmp)
+            os.unlink(tmp)  # the mapping survives the unlink (POSIX)
+            return lib
+        except OSError:
+            return None
+    try:
+        return ctypes.CDLL(_SO)
     except OSError:
         return None
 

@@ -216,11 +216,10 @@ def main():
             if args.small_text:
                 # small-but-capable trunk: SimpleTokenizer's hashed 1024
                 # vocab, 4 layers x 128-d — trainable from scratch within
-                # a few-thousand-step study
-                return tiny_roberta_config(
-                    hidden_size=128, num_hidden_layers=4,
-                    num_attention_heads=4, intermediate_size=256,
-                )
+                # a few-thousand-step study (shared literal: lang/roberta)
+                from butd_detr_tpu.lang import small_text_roberta_config
+
+                return small_text_roberta_config()
             return super()._roberta_config()
 
         history = []

@@ -103,9 +103,9 @@ def main():
                             backbone_npoints=(256, 128, 64, 32))
     elif args.small_text:
         # the r4b --small_text study arm (scripts/accuracy_study.py)
-        model = build_model(cfg, roberta_config=tiny_roberta_config(
-            hidden_size=128, num_hidden_layers=4,
-            num_attention_heads=4, intermediate_size=256))
+        from butd_detr_tpu.lang import small_text_roberta_config
+
+        model = build_model(cfg, roberta_config=small_text_roberta_config())
     else:
         model = build_model(cfg, roberta_config=roberta_base_config())
     optimizer = make_optimizer(cfg, steps_per_epoch=100)

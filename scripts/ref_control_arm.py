@@ -43,32 +43,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
-def build_dataset(root, tok, split, butd_cls=True, joint_det=True,
-                  num_points=50000, eval_train=False):
-    from butd_detr_tpu.data import JointGroundingDataset
-    from butd_detr_tpu.data.scan import load_scans_parallel
-
-    with open(osp.join(root, "meta_data", "scannetv2_train.txt")) as f:
-        train_ids = [l.strip() for l in f if l.strip()]
-    scans = load_scans_parallel(
-        train_ids, osp.join(root, "scans"), osp.join(root, "meta_data"),
-        num_workers=1, keep_points=num_points,
-    )
-    ddict = {"sr3d": 1}
-    if joint_det and split == "train":
-        ddict["scannet"] = 10
-    data_path = root
-    if eval_train:
-        from scripts.train_split_eval import make_trainval_root
-
-        data_path = make_trainval_root(root)
-    return JointGroundingDataset(
-        split=split, dataset_dict=ddict, test_dataset="sr3d",
-        data_path=data_path, scans=scans, tokenizer=tok,
-        use_color=True, butd=not butd_cls, butd_cls=butd_cls,
-        butd_gt=False, detect_intermediate=joint_det and split == "train",
-        max_text_len=32, max_num_obj=16, max_det_boxes=16,
-    )
+from scripts.probe_common import build_dataset  # noqa: E402
 
 
 class SimpleTokWrapper:
@@ -95,9 +70,13 @@ class SimpleTokWrapper:
 
 
 def probe(model, batch_np, step, out_path):
-    """diag_grounding-style probe on a fixed batch; appends one JSON row."""
+    """Eval-mode forward on a fixed batch; metrics via the shared
+    scripts/probe_common.probe_row so curves are comparable with the JAX
+    arm (scripts/overfit_probe.py) by construction."""
     import numpy as np
     import torch
+
+    from scripts.probe_common import append_row, probe_row
 
     model.eval()
     tb = {k: torch.as_tensor(v) for k, v in batch_np.items()
@@ -111,79 +90,19 @@ def probe(model, batch_np, step, out_path):
     }
     with torch.no_grad():
         ep = model(inputs)
-    B = tb["point_clouds"].shape[0]
-    pmap = np.asarray(batch_np["positive_map"], np.float32)
-    gt = np.concatenate(
-        [batch_np["center_label"][..., :3], batch_np["size_gts"]], -1
-    )
-    all_boxes = np.asarray(batch_np["all_bboxes"], np.float32)
-    all_mask = np.asarray(batch_np["all_bbox_label_mask"], bool)
-
-    from scipy.optimize import linear_sum_assignment
-
-    row = {"step": step}
-    for prefix in ("proposal_", "last_"):
-        logits = ep[f"{prefix}sem_cls_scores"].float().numpy()
-        pred = np.concatenate(
-            [ep[f"{prefix}center"].float().numpy(),
-             ep[f"{prefix}pred_size"].float().numpy()], -1,
+    preds = {
+        prefix: (
+            ep[f"{prefix}sem_cls_scores"].float().numpy(),
+            np.concatenate(
+                [ep[f"{prefix}center"].float().numpy(),
+                 ep[f"{prefix}pred_size"].float().numpy()], -1,
+            ),
         )
-        probs = np.exp(logits - logits.max(-1, keepdims=True))
-        probs /= probs.sum(-1, keepdims=True)
-        logp = np.log(np.maximum(probs, 1e-12))
-
-        ce_m, p_span, arg255, hits = [], [], 0, 0
-        from butd_detr_tpu.losses.boxes import (
-            box_cxcyczwhd_to_xyzxyz,
-            pairwise_iou3d,
-        )
-        import jax.numpy as jnp
-
-        for b in range(B):
-            # reference matcher cost (losses.py:279-331) on the root target
-            valid = np.asarray(batch_np["box_label_mask"][b], bool)
-            tgt = gt[b][valid]
-            tpm = pmap[b][valid]
-            cost_class = -(probs[b] @ tpm.T)
-            cost_bbox = np.abs(pred[b][:, None] - tgt[None]).sum(-1)
-            from butd_detr_tpu.losses.boxes import generalized_box_iou3d
-
-            giou = np.asarray(generalized_box_iou3d(
-                jnp.asarray(box_cxcyczwhd_to_xyzxyz(jnp.asarray(pred[b]))),
-                jnp.asarray(box_cxcyczwhd_to_xyzxyz(jnp.asarray(tgt))),
-            ))
-            # weights from main_utils.py:243: HungarianMatcher(1, 0, 2)
-            # = (cost_class, cost_bbox, cost_giou) — L1 weight is ZERO
-            C = 1 * cost_class + 0 * cost_bbox + 2 * -giou
-            qi, ti = linear_sum_assignment(C)
-            q = int(qi[list(ti).index(0)])
-            span = np.nonzero(pmap[b, 0])[0]
-            ce_m.append(-np.log(max(float(probs[b, q, span].sum()), 1e-9)))
-            p_span.append(float(probs[b, q, span].sum()))
-            arg255 += int(probs[b, q].argmax() == probs.shape[-1] - 1)
-
-            # cls exact-match: top query by evaluator-gated bbs score
-            iou_all = np.asarray(pairwise_iou3d(
-                jnp.asarray(box_cxcyczwhd_to_xyzxyz(
-                    jnp.asarray(all_boxes[b]))),
-                jnp.asarray(box_cxcyczwhd_to_xyzxyz(jnp.asarray(pred[b]))),
-            )[0])
-            iou_all = np.where(all_mask[b][:, None], iou_all, 0.0)
-            correct = iou_all.max(0) > 0.25
-            sc = (probs[b] @ pmap[b, 0]) * correct
-            top = int(sc.argmax())
-            snap = int(np.where(all_mask[b], iou_all[:, top], -1).argmax())
-            hits += int((all_boxes[b, snap] == gt[b, 0]).all())
-
-        row[f"{prefix}matched_ce"] = round(float(np.mean(ce_m)), 3)
-        row[f"{prefix}eos_ce"] = round(float(-logp[..., -1].mean()), 4)
-        row[f"{prefix}p_span"] = round(float(np.mean(p_span)), 4)
-        row[f"{prefix}argmax255"] = arg255 / B
-        row[f"{prefix}acc"] = round(hits / B, 3)
+        for prefix in ("proposal_", "last_")
+    }
+    row = probe_row(preds, batch_np, step)
     model.train()
-    with open(out_path, "a") as f:
-        f.write(json.dumps(row) + "\n")
-    print("PROBE", json.dumps(row), flush=True)
+    append_row(row, out_path)
     return row
 
 
@@ -202,8 +121,23 @@ def main():
                     "freezes a PRETRAINED trunk; random-frozen would be a "
                     "handicap the reference never had)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--small_text", action="store_true",
+                    help="use the study's --small_text trunk (4 layers x "
+                    "128-d, lang.small_text_roberta_config) instead of the "
+                    "random-init roberta-base shape, so the text handicap "
+                    "matches the r4b/r5 study arms exactly")
+    ap.add_argument("--overfit", type=int, default=0,
+                    help="single-batch overfit probe (VERDICT r4 weak #8): "
+                    "train on ONE fixed unaugmented batch of the first N "
+                    "train-scene samples and probe on that same batch. The "
+                    "discriminating question: does the reference's matched "
+                    "soft-token argmax escape the no-object bin (255) under "
+                    "pure memorization? Run scripts/overfit_probe.py with "
+                    "identical settings for the JAX arm.")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    with open(osp.join(args.out, "invocation.json"), "w") as f:
+        json.dump({"argv": sys.argv, "args": vars(args)}, f, indent=1)
 
     import numpy as np
     import torch
@@ -222,13 +156,27 @@ def main():
     from butd_detr_tpu.lang.tokenizer import SimpleTokenizer
     from tests.golden.ref_torch_stub import load_reference_model
 
-    # full roberta-base shape, random init — matches the study's text tower
-    model, _tok, ns = load_reference_model(
-        roberta_config=dict(
+    if args.small_text:
+        # the study's --small_text trunk (shared literal: lang/roberta)
+        from butd_detr_tpu.lang import small_text_roberta_config
+
+        sc = small_text_roberta_config()
+        rconf = dict(
+            vocab_size=sc.vocab_size, hidden_size=sc.hidden_size,
+            num_hidden_layers=sc.num_hidden_layers,
+            num_attention_heads=sc.num_attention_heads,
+            intermediate_size=sc.intermediate_size,
+            max_position_embeddings=sc.max_position_embeddings,
+        )
+    else:
+        # full roberta-base shape, random init — the r1b-r4a text tower
+        rconf = dict(
             vocab_size=1024, hidden_size=768, num_hidden_layers=12,
             num_attention_heads=12, intermediate_size=3072,
             max_position_embeddings=514,
-        ),
+        )
+    model, _tok, ns = load_reference_model(
+        roberta_config=rconf,
         workdir=args.out, seed=args.seed,
         num_class=256, num_obj_class=485, input_feature_dim=3,
         num_queries=256, num_decoder_layers=6,
@@ -265,27 +213,37 @@ def main():
         lr=args.lr, weight_decay=5e-4,
     )
 
-    train_ds = build_dataset(args.data, tok, "train",
-                             num_points=args.num_points)
-    probe_ds = build_dataset(args.data, tok, "val", joint_det=False,
-                             num_points=args.num_points, eval_train=True)
     from butd_detr_tpu.data.loader import collate
 
-    probe_batch = collate([probe_ds[i] for i in range(8)])
+    probe_ds = build_dataset(args.data, tok, "val", joint_det=False,
+                             num_points=args.num_points, eval_train=True)
     probe_path = osp.join(args.out, "probe.jsonl")
-
-    n = len(train_ds)
+    if args.overfit:
+        # single fixed unaugmented batch — train and probe on the same
+        # samples; both arms (this and scripts/overfit_probe.py) draw the
+        # identical batch through the identical host pipeline
+        probe_batch = collate([probe_ds[i] for i in range(args.overfit)])
+        train_ds = None
+        n = args.overfit
+    else:
+        train_ds = build_dataset(args.data, tok, "train",
+                                 num_points=args.num_points)
+        probe_batch = collate([probe_ds[i] for i in range(8)])
+        n = len(train_ds)
     rng = np.random.RandomState(args.seed)
     order = rng.permutation(n)
     pos = 0
     model.train()
     t0 = time.time()
     for step in range(args.steps):
-        if pos + args.batch > n:
-            order, pos = rng.permutation(n), 0
-        idx = order[pos:pos + args.batch]
-        pos += args.batch
-        batch_np = collate([train_ds[int(i)] for i in idx])
+        if args.overfit:
+            batch_np = probe_batch
+        else:
+            if pos + args.batch > n:
+                order, pos = rng.permutation(n), 0
+            idx = order[pos:pos + args.batch]
+            pos += args.batch
+            batch_np = collate([train_ds[int(i)] for i in idx])
         tb = {k: torch.as_tensor(v) for k, v in batch_np.items()
               if hasattr(v, "dtype")}
         inputs = {
