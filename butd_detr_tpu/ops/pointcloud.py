@@ -775,6 +775,15 @@ def ball_query(
 def _group_points_vjp(points, idx, n):
     B, N, C = points.shape
     _, m, ns = idx.shape
+    if _use_window_gather(N, m, ns, points.dtype):
+        # production sa1 path: windowed Pallas gather over the
+        # Hilbert-local touched-chunk slabs (bit-exact; self-falls-back
+        # to take_along_axis when tile budgets overflow)
+        from butd_detr_tpu.ops.pallas_window_gather import (
+            windowed_group_points,
+        )
+
+        return windowed_group_points(points, idx)
     flat_idx = idx.reshape(B, m * ns).astype(jnp.int32)
     if _use_onehot_gather(N, points.dtype):
         from butd_detr_tpu.ops.pallas_scatter import gather_rows_pallas
@@ -783,6 +792,23 @@ def _group_points_vjp(points, idx, n):
     else:
         flat = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
     return flat.reshape(B, m, ns, C)
+
+
+def _use_window_gather(n: int, m: int, ns: int, dtype) -> bool:
+    """Route the big Hilbert-local row gathers (sa1: 131k rows from a 50k
+    source) through the windowed Pallas kernel. A/B knob
+    BUTD_WINDOW_GATHER; small sources stay on take_along/one-hot paths
+    (their one-hot form is already cheap)."""
+    import os
+
+    return (
+        os.environ.get("BUTD_WINDOW_GATHER", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and n >= 16384
+        and m >= 512
+        and ns >= 32
+        and dtype in (jnp.float32, jnp.bfloat16)
+    )
 
 
 def _use_onehot_gather(n: int, dtype) -> bool:
