@@ -51,8 +51,11 @@ from butd_detr_tpu.ops.pallas_scatter import _bf16_split3
 
 LANES = 128
 TC = 8  # center rows per tile (matches the ball-query tile granularity)
-KT = 16  # touched-chunk budget per tile
-GT = 8  # tiles per kernel program
+KT = 32  # touched-chunk budget per tile (bench-data stats at the sa1
+# shape: mean 11.9, p99 21, max 27 — 16 overflowed every batch)
+GT = 4  # tiles per kernel program (GT=8's working set — one-hots,
+# rowsel accumulators, double-buffered slabs — exceeds the 16 MB scoped
+# VMEM at the sa1 shape: measured 21.6 MB)
 BIG = 2 ** 30
 
 

@@ -62,6 +62,14 @@ def main():
                     "A small trainable encoder is the offline proxy for "
                     "'informative text features', which is what the study "
                     "needs to prove the grounding/ranking machinery trains")
+    ap.add_argument("--text_init", default=None,
+                    help="npz from scripts/pretrain_text.py: start the "
+                    "--small_text trunk from class-discriminative "
+                    "pretraining (the offline proxy for the reference's "
+                    "frozen pretrained roberta-base, bdetr.py:73-77)")
+    ap.add_argument("--freeze_text", action="store_true",
+                    help="freeze the (pretrained) text trunk like the "
+                    "reference does — pair with --text_init")
     ap.add_argument("--eval_train_split", action="store_true",
                     help="evaluate on the TRAIN scenes (the r1b overfit "
                     "metric) instead of held-out val scenes")
@@ -90,6 +98,15 @@ def main():
                     "converging benchmark variant, SR3D acc 67.0 in the "
                     "reference README)")
     args = ap.parse_args()
+
+    # self-describing study artifacts (VERDICT r4 next #7): the full
+    # script-level invocation lives next to the harness config.json —
+    # an arm's identity must be reconstructible from the directory alone
+    os.makedirs(args.out, exist_ok=True)
+    with open(osp.join(args.out, "invocation.json"), "a") as f:
+        f.write(json.dumps(
+            {"argv": sys.argv, "args": vars(args),
+             "cwd": os.getcwd()}) + "\n")
 
     if args.tiny:
         # must happen before first backend use (sitecustomize preloads jax)
@@ -148,7 +165,7 @@ def main():
         dp=8 if args.tiny else 1,
         log_dir=osp.join(args.out, "log"),
         **(dict(freeze_text_encoder=False, text_encoder_lr=1e-4)
-           if args.trainable_text else {}),
+           if args.trainable_text and not args.freeze_text else {}),
         **(dict(lr_decay_epochs=list(args.lr_decay_epochs))
            if args.lr_decay_epochs else {}),
         **(dict(joint_det=True, detect_intermediate=True)
@@ -221,6 +238,19 @@ def main():
 
                 return small_text_roberta_config()
             return super()._roberta_config()
+
+        def init_pretrained(self, state):
+            state = super().init_pretrained(state)
+            if args.text_init:
+                from scripts.probe_common import load_text_init
+
+                state = state.replace(
+                    params=load_text_init(args.text_init, state.params)
+                )
+                self.logger.info(
+                    f"text_encoder initialized from {args.text_init}"
+                )
+            return state
 
         history = []
 

@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--lr_text", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--small_text", action="store_true")
+    ap.add_argument("--text_init", default=None,
+                    help="npz from scripts/pretrain_text.py: start from a "
+                    "class-discriminative small trunk (the offline proxy "
+                    "for the reference's pretrained roberta-base)")
     ap.add_argument("--cpu", action="store_true",
                     help="force host CPU (leave the chip free)")
     args = ap.parse_args()
@@ -113,6 +117,14 @@ def main():
     t0 = time.time()
     state = init_state(model, optimizer, batch, rng)
     print(f"# init {time.time() - t0:.0f}s", flush=True)
+    if args.text_init:
+        from scripts.probe_common import load_text_init
+
+        state = state.replace(
+            params=load_text_init(args.text_init, state.params)
+        )
+        print(f"# text_encoder initialized from {args.text_init}",
+              flush=True)
 
     train_step = jax.jit(make_train_step(model, cfg, optimizer),
                          donate_argnums=(0,))

@@ -59,6 +59,28 @@ def build_dataset(root, tok, split, butd_cls=True, joint_det=True,
     )
 
 
+def load_text_init(path, params):
+    """Replace params['text_encoder'] with a trunk saved by
+    scripts/pretrain_text.py (shape-checked). Returns a new params dict."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    data = np.load(path)
+    tree = unflatten_dict(
+        {tuple(k.split("/")): data[k] for k in data.files}
+    )
+    cur = flatten_dict(params["text_encoder"])
+    new = flatten_dict(tree)
+    missing = set(cur) ^ set(new)
+    assert not missing, f"text_init param mismatch: {sorted(missing)[:5]}"
+    for k in cur:
+        assert cur[k].shape == new[k].shape, (k, cur[k].shape, new[k].shape)
+    params = dict(params)
+    params["text_encoder"] = jax.tree_util.tree_map(jnp.asarray, tree)
+    return params
+
+
 def probe_row(pred_by_prefix, batch_np, step):
     """pred_by_prefix: {prefix: (logits (B,Q,C) f32 np, boxes (B,Q,6) np)}.
 
