@@ -33,7 +33,10 @@ def make_trainval_root(root: str) -> str:
         if name == "meta_data":
             shutil.copytree(src, dst, dirs_exist_ok=True)
         elif not osp.exists(dst):
-            os.symlink(src, dst)
+            # absolute target: a RELATIVE src (e.g. "studies/x/data/scans")
+            # would resolve against the symlink's own directory and dangle
+            # (advisor find, round 4)
+            os.symlink(osp.abspath(src), dst)
     meta = osp.join(alt, "meta_data")
     shutil.copy(osp.join(meta, "sr3d_train_scans.txt"),
                 osp.join(meta, "sr3d_test_scans.txt"))
