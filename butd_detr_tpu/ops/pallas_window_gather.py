@@ -53,6 +53,9 @@ LANES = 128
 TC = 8  # center rows per tile (matches the ball-query tile granularity)
 KT = 32  # touched-chunk budget per tile (bench-data stats at the sa1
 # shape: mean 11.9, p99 21, max 27 — 16 overflowed every batch)
+KT_SMALL = 16  # tight tier: engaged when every tile fits (lax.cond),
+# halving the extract matmul K and slab bytes — surface-like scans
+# cluster well below bench's uniform-volume tails
 GT = 4  # tiles per kernel program (GT=8's working set — one-hots,
 # rowsel accumulators, double-buffered slabs — exceeds the 16 MB scoped
 # VMEM at the sa1 shape: measured 21.6 MB)
@@ -101,7 +104,7 @@ def _window_extract_pallas(slabs, pos, out_dtype_arr, n_ch, ns,
     (B, Tp*TC*ns, C) in out_dtype_arr.dtype."""
     from jax.experimental import pallas as pl
 
-    B, Tp = slabs.shape[0], slabs.shape[1]
+    B, Tp, kt = slabs.shape[0], slabs.shape[1], slabs.shape[2]
     G = Tp // GT
     R = GT * TC * ns
     n_pass = 1 if slabs.dtype == jnp.bfloat16 else 3
@@ -114,7 +117,7 @@ def _window_extract_pallas(slabs, pos, out_dtype_arr, n_ch, ns,
         ),
         grid=(B, G),
         in_specs=[
-            pl.BlockSpec((1, GT, KT, n_ch, LANES), lambda b, g: (b, g, 0, 0, 0)),
+            pl.BlockSpec((1, GT, kt, n_ch, LANES), lambda b, g: (b, g, 0, 0, 0)),
             pl.BlockSpec((1, R, 1), lambda b, g: (b, g, 0)),
         ],
         out_specs=pl.BlockSpec((1, R, n_ch), lambda b, g: (b, g, 0)),
@@ -157,44 +160,56 @@ def windowed_group_points(points, idx, *, interpret=False):
         [jnp.ones((B, T, 1), bool), cs[:, :, 1:] != cs[:, :, :-1]], axis=2
     )
     count_t = jnp.sum(first, axis=2)  # distinct touched chunks per tile
-    violated = jnp.max(count_t) > KT
+    count_max = jnp.max(count_t)
 
     # ascending distinct chunk list, BIG-padded past each tile's count
     neg = jnp.where(first, -cs, -BIG)
     chunk_list = -lax.top_k(neg, KT)[0]  # (B, T, KT) ascending
 
-    # element chunk rank within its tile's list + block-diag column
+    # element chunk rank within its tile's list (independent of the tier:
+    # ranks only count REAL entries below cid, never the BIG padding)
     cid_e = cids  # (B, T, TC*ns)
     q = jnp.sum(
         (chunk_list[:, :, None, :] < cid_e[..., None]).astype(jnp.int32),
         axis=-1,
     )  # (B, T, TC*ns)
     tl = (jnp.arange(T, dtype=jnp.int32) % GT)[None, :, None]
-    pos = ((q + tl * KT) << 7) | (idx_s.reshape(B, T, TC * ns) & (LANES - 1))
+    lanes_e = idx_s.reshape(B, T, TC * ns) & (LANES - 1)
 
-    def fast(_):
-        # chunk-granular slab gather (rows of 128*C payload)
-        src = points
-        if Np != N:
-            src = jnp.concatenate(
-                [src, jnp.zeros((B, Np - N, C), src.dtype)], axis=1
+    def make_fast(kt):
+        """Extract at chunk budget `kt` (the ascending chunk list's first
+        kt entries ARE the kt-tier list). Kernel matmul K and slab bytes
+        are linear in kt, so the tight tier runs a ~2x smaller extract
+        when every tile fits KT_SMALL (the common case on surface-like
+        scans; bench's uniform volume needs the full KT)."""
+
+        def fast(_):
+            pos = ((q + tl * kt) << 7) | lanes_e
+            src = points
+            if Np != N:
+                src = jnp.concatenate(
+                    [src, jnp.zeros((B, Np - N, C), src.dtype)], axis=1
+                )
+            src_chunks = (
+                src.reshape(B, nc, LANES, C)
+                .transpose(0, 1, 3, 2)
+                .reshape(B, nc, C * LANES)
             )
-        src_chunks = (
-            src.reshape(B, nc, LANES, C)
-            .transpose(0, 1, 3, 2)
-            .reshape(B, nc, C * LANES)
-        )
-        cl = jnp.minimum(chunk_list, nc - 1).reshape(B, T * KT)
-        slabs = jnp.take_along_axis(
-            src_chunks, cl[..., None], axis=1
-        ).reshape(B, T, KT, C, LANES)
-        out_s = _window_extract_pallas(
-            slabs, pos.reshape(B, T * TC * ns), points, C, ns,
-            interpret=interpret,
-        )  # (B, T*TC*ns, C)
-        out_rows = out_s.reshape(B, T * TC, ns * C)[:, : m]
-        out = jnp.take_along_axis(out_rows, inv[..., None], axis=1)
-        return out.reshape(B, m, ns, C)
+            cl = jnp.minimum(chunk_list[:, :, :kt], nc - 1).reshape(
+                B, T * kt
+            )
+            slabs = jnp.take_along_axis(
+                src_chunks, cl[..., None], axis=1
+            ).reshape(B, T, kt, C, LANES)
+            out_s = _window_extract_pallas(
+                slabs, pos.reshape(B, T * TC * ns), points, C, ns,
+                interpret=interpret,
+            )  # (B, T*TC*ns, C)
+            out_rows = out_s.reshape(B, T * TC, ns * C)[:, : m]
+            out = jnp.take_along_axis(out_rows, inv[..., None], axis=1)
+            return out.reshape(B, m, ns, C)
+
+        return fast
 
     def slow(_):
         flat = idx.reshape(B, m * ns)
@@ -202,4 +217,9 @@ def windowed_group_points(points, idx, *, interpret=False):
             points, flat[..., None], axis=1
         ).reshape(B, m, ns, C)
 
-    return lax.cond(violated, slow, fast, None)
+    def pick(_):
+        return lax.cond(
+            count_max > KT_SMALL, make_fast(KT), make_fast(KT_SMALL), None
+        )
+
+    return lax.cond(count_max > KT, slow, pick, None)

@@ -101,3 +101,24 @@ def test_production_shape_tile_budget_engages():
         len(np.unique(cids[b, t])) for b in range(B) for t in range(T)
     ]
     assert max(counts) <= KT, max(counts)
+
+
+def test_windowed_gather_mid_tier_exact():
+    # counts between KT_SMALL and KT: exercises the full-KT tier branch
+    from butd_detr_tpu.ops.pallas_window_gather import KT_SMALL
+
+    rng = np.random.RandomState(5)
+    B, N, C, m, ns = 1, 8192, 6, 64, 64
+    # wide windows -> ~20-28 distinct 128-chunks per 8-row tile
+    idx = jnp.asarray(_local_idx(rng, B, N, m, ns, window=3300))
+    lo = np.asarray(jnp.min(idx, axis=2))
+    perm = np.argsort(lo, axis=1)
+    idx_s = np.take_along_axis(np.asarray(idx), perm[..., None], axis=1)
+    cids = (idx_s >> 7).reshape(B, m // TC, TC * ns)
+    counts = [len(np.unique(cids[0, t])) for t in range(m // TC)]
+    assert max(counts) > KT_SMALL and max(counts) <= KT, counts
+    pts = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    out = windowed_group_points(pts, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(_oracle(pts, idx))
+    )
