@@ -24,6 +24,13 @@ class Config:
 
     # Loss (main_utils.py:48-52)
     query_points_obj_topk: int = 4
+    # soft-token no-object weight (reference hardcodes 0.1 at
+    # main_utils.py:246/losses.py:343). Overridable for STUDY arms only:
+    # at offline data scales (96 scenes vs the reference's 65k samples)
+    # the 255:1 eos supervision ratio dominates the single-positive span
+    # signal in BOTH systems (studies/attrib_r5 matched-trajectory
+    # probes), so accuracy demonstrations need the prior reduced.
+    eos_coef: float = 0.1
     use_contrastive_align: bool = False
     use_soft_token_loss: bool = False
     detect_intermediate: bool = False

@@ -97,7 +97,7 @@ def build_model(cfg: Config, roberta_config=None,
 
 def criterion_config(cfg: Config) -> CriterionConfig:
     return CriterionConfig(
-        eos_coef=0.1,
+        eos_coef=cfg.eos_coef,
         temperature=0.07,
         cost_class=1.0,
         cost_bbox=0.0,

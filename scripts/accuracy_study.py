@@ -62,6 +62,10 @@ def main():
                     "A small trainable encoder is the offline proxy for "
                     "'informative text features', which is what the study "
                     "needs to prove the grounding/ranking machinery trains")
+    ap.add_argument("--eos_coef", type=float, default=None,
+                    help="override the soft-token no-object weight "
+                    "(reference 0.1) — study-arm knob; see NOTES r5 "
+                    "attribution findings")
     ap.add_argument("--text_init", default=None,
                     help="npz from scripts/pretrain_text.py: start the "
                     "--small_text trunk from class-discriminative "
@@ -173,6 +177,8 @@ def main():
         **(dict(num_encoder_layers=1, num_decoder_layers=1, num_target=16)
            if args.tiny else {}),
         **(dict(checkpoint_path=args.resume) if args.resume else {}),
+        **(dict(eos_coef=args.eos_coef)
+           if args.eos_coef is not None else {}),
     )
 
     class StudyTrainTester(TrainTester):
