@@ -62,6 +62,10 @@ def main():
                     "A small trainable encoder is the offline proxy for "
                     "'informative text features', which is what the study "
                     "needs to prove the grounding/ranking machinery trains")
+    ap.add_argument("--num_target", type=int, default=None,
+                    help="query count override (a real reference CLI "
+                    "flag; its default 256 dominates small-scale studies "
+                    "with eos supervision — see NOTES r5)")
     ap.add_argument("--eos_coef", type=float, default=None,
                     help="override the soft-token no-object weight "
                     "(reference 0.1) — study-arm knob; see NOTES r5 "
@@ -179,6 +183,8 @@ def main():
         **(dict(checkpoint_path=args.resume) if args.resume else {}),
         **(dict(eos_coef=args.eos_coef)
            if args.eos_coef is not None else {}),
+        **(dict(num_target=args.num_target)
+           if args.num_target is not None and not args.tiny else {}),
     )
 
     class StudyTrainTester(TrainTester):

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--lr_text", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--small_text", action="store_true")
+    ap.add_argument("--num_target", type=int, default=256,
+                    help="query count (a real reference CLI flag, "
+                    "main_utils.py --num_target; default 256). Fewer "
+                    "queries cut the eos:positive supervision ratio AND "
+                    "stabilize the Hungarian assignment at small scale")
     ap.add_argument("--eos_coef", type=float, default=0.1,
                     help="soft-token no-object weight (reference 0.1). "
                     "Study-arm knob: the attribution probes show the eos "
@@ -99,6 +104,7 @@ def main():
         lr=args.lr, lr_backbone=args.lr_backbone, weight_decay=5e-4,
         freeze_text_encoder=False, text_encoder_lr=args.lr_text,
         lr_decay_epochs=[10 ** 6],  # constant LR for the probe
+        num_target=args.num_target,
         eos_coef=args.eos_coef,
         log_dir=args.out,
     )
