@@ -39,6 +39,13 @@ class QueryAndGroup(nn.Module):
     # the pruned ball query skip its device prep sorts (ops/pointcloud.py);
     # exactness never depends on the claim
     presorted: bool = False
+    # the consuming MLP's compute dtype. bf16 routes the feature leg of
+    # the grouping gather through the split two-dtype form: the MLP casts
+    # features to bf16 anyway, so gathering them in bf16 is bit-identical
+    # end to end (cast commutes with a copy) while the windowed Pallas
+    # gather does a third fewer MXU passes; xyz stays f32-exact for the
+    # center-subtract
+    dtype: jnp.dtype = jnp.float32
 
     def __call__(self, xyz, new_xyz, features=None):
         idx = ball_query(
@@ -46,17 +53,27 @@ class QueryAndGroup(nn.Module):
             presorted=self.presorted,
         )
         if features is not None:
-            # ONE row gather for xyz+features: TPU gather cost is
-            # per-row-dominated (the separate 3-channel xyz gather costs
-            # as much as the 9-channel combined one), so gathering the
-            # concatenated array halves the hot sa1 grouping cost
-            grouped = group_points(
-                jnp.concatenate([xyz, features], axis=-1), idx
-            )
-            grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
-            if self.normalize_xyz:
-                grouped_xyz = grouped_xyz / self.radius
-            grouped_features = grouped[..., 3:]
+            if self.dtype == jnp.bfloat16:
+                from butd_detr_tpu.ops import group_points_split
+
+                gx, grouped_features = group_points_split(
+                    xyz, features.astype(jnp.bfloat16), idx
+                )
+                grouped_xyz = gx - new_xyz[:, :, None, :]
+                if self.normalize_xyz:
+                    grouped_xyz = grouped_xyz / self.radius
+            else:
+                # ONE row gather for xyz+features: TPU gather cost is
+                # per-row-dominated (the separate 3-channel xyz gather
+                # costs as much as the 9-channel combined one), so the
+                # concatenated array halves the hot sa1 grouping cost
+                grouped = group_points(
+                    jnp.concatenate([xyz, features], axis=-1), idx
+                )
+                grouped_xyz = grouped[..., :3] - new_xyz[:, :, None, :]
+                if self.normalize_xyz:
+                    grouped_xyz = grouped_xyz / self.radius
+                grouped_features = grouped[..., 3:]
             if self.use_xyz:
                 new_features = jnp.concatenate(
                     [grouped_xyz, grouped_features], axis=-1
@@ -108,7 +125,7 @@ class PointnetSAModuleVotes(nn.Module):
         grouped, grouped_xyz = QueryAndGroup(
             self.radius, self.nsample,
             use_xyz=self.use_xyz, normalize_xyz=self.normalize_xyz,
-            presorted=self.presorted,
+            presorted=self.presorted, dtype=self.dtype,
         )(xyz, new_xyz, features)
 
         new_features = SharedMLP(self.mlp, dtype=self.dtype)(

@@ -11,6 +11,7 @@ from butd_detr_tpu.ops.pointcloud import (
     furthest_point_sample_xla,
     gather_points,
     group_points,
+    group_points_split,
     three_interpolate,
     three_nn,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "furthest_point_sample_xla",
     "gather_points",
     "group_points",
+    "group_points_split",
     "three_interpolate",
     "three_nn",
 ]

@@ -126,55 +126,77 @@ def _window_extract_pallas(slabs, pos, out_dtype_arr, n_ch, ns,
     return out
 
 
-def windowed_group_points(points, idx, *, interpret=False):
+class _Prep:
+    """Index-side products of the windowed gather, shared across payload
+    arrays gathered with the SAME idx (e.g. f32 xyz + bf16 colors at
+    sa1): sort/tile/unique/rank work is done once."""
+
+    __slots__ = ("T", "m", "ns", "inv", "chunk_list", "q", "tl",
+                 "lanes_e", "count_max", "idx")
+
+    def __init__(self, idx, m, ns):
+        B = idx.shape[0]
+        idx = idx.astype(jnp.int32)
+        lo = jnp.min(idx, axis=2)  # (B, m)
+        perm = jnp.argsort(lo, axis=1)
+        self.inv = jnp.argsort(perm, axis=1)
+        idx_s = jnp.take_along_axis(idx, perm[..., None], axis=1)
+
+        mpad = (-m) % (TC * GT)
+        if mpad:
+            idx_s = jnp.concatenate(
+                [idx_s, jnp.broadcast_to(idx_s[:, :1], (B, mpad, ns))],
+                axis=1,
+            )
+        T = (m + mpad) // TC
+        self.T, self.m, self.ns, self.idx = T, m, ns, idx
+
+        cids = (idx_s >> 7).reshape(B, T, TC * ns)
+        cs = lax.sort(cids, dimension=2)
+        first = jnp.concatenate(
+            [jnp.ones((B, T, 1), bool), cs[:, :, 1:] != cs[:, :, :-1]],
+            axis=2,
+        )
+        count_t = jnp.sum(first, axis=2)  # distinct touched chunks/tile
+        self.count_max = jnp.max(count_t)
+
+        # ascending distinct chunk list, BIG-padded past each tile count
+        neg = jnp.where(first, -cs, -BIG)
+        self.chunk_list = -lax.top_k(neg, KT)[0]  # (B, T, KT) ascending
+
+        # element chunk rank within its tile's list (tier-independent:
+        # ranks only count REAL entries below cid, never BIG padding)
+        self.q = jnp.sum(
+            (self.chunk_list[:, :, None, :] < cids[..., None]).astype(
+                jnp.int32
+            ),
+            axis=-1,
+        )  # (B, T, TC*ns)
+        self.tl = (jnp.arange(T, dtype=jnp.int32) % GT)[None, :, None]
+        self.lanes_e = idx_s.reshape(B, T, TC * ns) & (LANES - 1)
+
+
+def windowed_group_points(points, idx, *, prep=None, interpret=False):
     """out[b, j, k, :] = points[b, idx[b, j, k], :] via the windowed
     Pallas extract; bit-exact with take_along_axis, falling back to it
     (lax.cond) when any tile's touched-chunk count exceeds KT.
 
     points: (B, N, C) f32/bf16 in spatially local (Hilbert) order for the
     fast path to engage in practice (exactness never depends on order);
-    idx: (B, m, ns) int32 in [0, N).
+    idx: (B, m, ns) int32 in [0, N). `prep` (a _Prep built from the same
+    idx) shares the index-side work across multiple payloads.
     """
     B, N, C = points.shape
     _, m, ns = idx.shape
     nc = -(-N // LANES)
     Np = nc * LANES
 
-    # ---- prep: tiles of locality-sorted center rows -------------------
-    idx = idx.astype(jnp.int32)
-    lo = jnp.min(idx, axis=2)  # (B, m)
-    perm = jnp.argsort(lo, axis=1)
-    inv = jnp.argsort(perm, axis=1)
-    idx_s = jnp.take_along_axis(idx, perm[..., None], axis=1)
-
-    mpad = (-m) % (TC * GT)
-    if mpad:
-        idx_s = jnp.concatenate(
-            [idx_s, jnp.broadcast_to(idx_s[:, :1], (B, mpad, ns))], axis=1
-        )
-    T = (m + mpad) // TC
-
-    cids = (idx_s >> 7).reshape(B, T, TC * ns)
-    cs = lax.sort(cids, dimension=2)
-    first = jnp.concatenate(
-        [jnp.ones((B, T, 1), bool), cs[:, :, 1:] != cs[:, :, :-1]], axis=2
+    p = prep if prep is not None else _Prep(idx, m, ns)
+    T = p.T
+    idx = p.idx
+    inv, chunk_list, q, tl, lanes_e, count_max = (
+        p.inv, p.chunk_list, p.q, p.tl, p.lanes_e, p.count_max
     )
-    count_t = jnp.sum(first, axis=2)  # distinct touched chunks per tile
-    count_max = jnp.max(count_t)
-
-    # ascending distinct chunk list, BIG-padded past each tile's count
-    neg = jnp.where(first, -cs, -BIG)
-    chunk_list = -lax.top_k(neg, KT)[0]  # (B, T, KT) ascending
-
-    # element chunk rank within its tile's list (independent of the tier:
-    # ranks only count REAL entries below cid, never the BIG padding)
-    cid_e = cids  # (B, T, TC*ns)
-    q = jnp.sum(
-        (chunk_list[:, :, None, :] < cid_e[..., None]).astype(jnp.int32),
-        axis=-1,
-    )  # (B, T, TC*ns)
-    tl = (jnp.arange(T, dtype=jnp.int32) % GT)[None, :, None]
-    lanes_e = idx_s.reshape(B, T, TC * ns) & (LANES - 1)
 
     def make_fast(kt):
         """Extract at chunk budget `kt` (the ascending chunk list's first

@@ -851,6 +851,71 @@ def _group_points_bwd(n, idx, g):
 _group_points_vjp.defvjp(_group_points_fwd, _group_points_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _group_points_split_vjp(xyz, feats, idx, n):
+    B, N, _ = xyz.shape
+    _, m, ns = idx.shape
+    if _use_window_gather(N, m, ns, xyz.dtype):
+        # windowed two-dtype extract with SHARED index-side prep: xyz
+        # stays f32 (3-pass exact copies), features ride the 1-pass bf16
+        # form — 12 channel-passes instead of 18 at sa1
+        from butd_detr_tpu.ops.pallas_window_gather import (
+            _Prep,
+            windowed_group_points,
+        )
+
+        prep = _Prep(idx.astype(jnp.int32), m, ns)
+        gx = windowed_group_points(xyz, idx, prep=prep)
+        gf = windowed_group_points(feats, idx, prep=prep)
+        return gx, gf
+    # fallback: ONE concatenated row gather (per-row-cost dominated, so
+    # splitting would double it); the feats leg casts back afterwards
+    cat = jnp.concatenate([xyz, feats.astype(xyz.dtype)], axis=-1)
+    flat_idx = idx.reshape(B, m * ns).astype(jnp.int32)
+    g = jnp.take_along_axis(cat, flat_idx[..., None], axis=1).reshape(
+        B, m, ns, -1
+    )
+    return g[..., :3], g[..., 3:].astype(feats.dtype)
+
+
+def _group_points_split_fwd(xyz, feats, idx, n):
+    return _group_points_split_vjp(xyz, feats, idx, n), idx
+
+
+def _group_points_split_bwd(n, idx, g):
+    from butd_detr_tpu.ops.pallas_scatter import scatter_rows_add
+
+    gx, gf = g
+    B, m, ns = idx.shape
+    grad_x = scatter_rows_add(
+        gx.reshape(B, m * ns, -1), idx.reshape(B, m * ns), n
+    ).astype(gx.dtype)
+    grad_f = scatter_rows_add(
+        gf.reshape(B, m * ns, -1), idx.reshape(B, m * ns), n
+    ).astype(gf.dtype)
+    zero_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return grad_x, grad_f, zero_idx
+
+
+_group_points_split_vjp.defvjp(_group_points_split_fwd,
+                               _group_points_split_bwd)
+
+
+def group_points_split(xyz: jax.Array, feats: jax.Array,
+                       idx: jax.Array):
+    """Gather xyz (kept f32-exact) and features (kept in their own
+    dtype, e.g. bf16) with one shared index prep. Returns
+    (grouped_xyz (B, m, ns, 3), grouped_feats (B, m, ns, Cf)).
+
+    Same semantics as `group_points` on the concatenated array (reference
+    group_points_gpu.cu:13-29) with the feats leg cast — used by the
+    bf16-backbone QueryAndGroup where the downstream SharedMLP casts
+    features to bf16 anyway, so gathering them in bf16 is bit-identical
+    end to end while cutting the windowed kernel's MXU passes by a third.
+    """
+    return _group_points_split_vjp(xyz, feats, idx, xyz.shape[1])
+
+
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Group point features: out[b, j, k] = points[b, idx[b, j, k]].
 
