@@ -41,16 +41,21 @@ def timeit(fn, *args, reps=None, warm=2):
     import jax
 
     reps = reps or int(os.environ.get("BENCH_REPS", "10"))
-    for _ in range(warm):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(reps):
-        t0 = time.time()
-        out = fn(*args)
+    try:
+        for _ in range(warm):
+            out = fn(*args)
         jax.block_until_ready(out)
-        ts.append(time.time() - t0)
-    return float(np.median(ts)) * 1e3  # ms
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            ts.append(time.time() - t0)
+        return float(np.median(ts)) * 1e3  # ms
+    except Exception as e:  # keep the rest of the table on a bad compile
+        print(f"# timeit FAILED: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        return float("nan")
 
 
 def main():
@@ -131,13 +136,20 @@ def main():
     step = jax.jit(make_train_step(model, cfg, optimizer),
                    donate_argnums=())
     results["full_step"] = timeit(step, state, batch, rng)
+    # value/grad of the standalone loss graph LAST-ish ordering inside
+    # this block: each stage below tolerates a failed compile (NaN row),
+    # so a flaky remote-compile on one executable no longer kills the
+    # attribution table (r4/r5 observed tpu_compile_helper crashes here)
     results["fwd_loss_value"] = timeit(jax.jit(loss_fn), state.params)
     vg = jax.jit(jax.value_and_grad(loss_fn))
     results["fwd_loss_grad"] = timeit(vg, state.params)
     results["bwd_total"] = results["fwd_loss_grad"] - results["fwd_loss_value"]
 
     # ---- optimizer alone (update + apply on real-shaped grads)
-    _, grads = vg(state.params)
+    try:
+        _, grads = vg(state.params)
+    except Exception:
+        grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
 
     def opt_only(g, s):
         updates, _ = optimizer.update(g, s.opt_state, s.params)
