@@ -42,6 +42,15 @@ def timeit(fn, *args, reps=None, warm=2):
 
     reps = reps or int(os.environ.get("BENCH_REPS", "10"))
     try:
+        if hasattr(fn, "lower"):
+            # raised scoped-VMEM, as bench.py does for B>24: the
+            # stage-isolated graphs here (fwd-only / loss-only) schedule
+            # more co-resident buffers around the FPS kernel frame than
+            # the full train step does, and blow the 16 MB default
+            # (measured: 25.5 MB at B=24 — this was the real cause of the
+            # r4/r5 "tpu_compile_helper exit 1" crashes on these graphs)
+            fn = fn.lower(*args).compile(compiler_options={
+                "xla_tpu_scoped_vmem_limit_kib": 65536})
         for _ in range(warm):
             out = fn(*args)
         jax.block_until_ready(out)
